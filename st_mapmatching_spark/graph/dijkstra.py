@@ -1,0 +1,109 @@
+"""Bounded Dijkstra shortest paths.
+
+Replaces the reference's memoized per-query A*
+(/root/reference/mapmatching/graph/astar.py:60-132 with the memo at
+:70-72,113,119). The memo is the single-machine version of a shortest-path
+table; at Spark scale we precompute exactly the (origin, target) pairs the
+candidate-pair table demands, distributing origins across partitions.
+
+Semantics: optimal cost for every pair with cost <= max_dist; targets
+beyond the bound (or unreachable) get cost=inf and an empty path, which the
+HMM turns into trans_prob ~ 0 — same observable behavior as the reference's
+status-2 search result (astar.py:111-114). The reference's additional
+``max_steps`` heap-pop cap is a performance guard we do not replicate (it
+can only *lose* valid paths the Dijkstra bound finds).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+
+def build_adjacency(edges) -> dict:
+    """adjacency: src -> list[(dst, cost, eid)] from an edges DataFrame with
+    columns src, dst, dist, eid. (src, dst) pairs are assumed unique, which
+    the network builder guarantees — mirroring the reference's multi-edge
+    dedup at /root/reference/mapmatching/osmnet/parse_osm_xml.py:296-352."""
+    adj: dict = {}
+    for src, dst, dist, eid in zip(edges["src"].to_numpy(), edges["dst"].to_numpy(),
+                                   edges["dist"].to_numpy(), edges["eid"].to_numpy()):
+        adj.setdefault(int(src), []).append((int(dst), float(dist), int(eid)))
+    return adj
+
+
+def bounded_dijkstra(adj: dict, origin: int, max_dist: float,
+                     targets: set | None = None):
+    """Single-source Dijkstra bounded by ``max_dist``.
+
+    Returns (cost: dict node->cost, prev: dict node->(prev_node, eid)).
+    Stops early once every requested target is settled.
+    """
+    cost = {origin: 0.0}
+    prev: dict = {origin: None}
+    settled = set()
+    remaining = set(targets) if targets else None
+    if remaining is not None:
+        remaining.discard(origin)
+    heap = [(0.0, origin)]
+    while heap:
+        c, u = heapq.heappop(heap)
+        if u in settled:
+            continue
+        settled.add(u)
+        if remaining is not None:
+            remaining.discard(u)
+            if not remaining:
+                break
+        for v, w, eid in adj.get(u, ()):
+            nc = c + w
+            if nc > max_dist:
+                continue
+            if v not in cost or nc < cost[v]:
+                cost[v] = nc
+                prev[v] = (u, eid)
+                heapq.heappush(heap, (nc, v))
+    return cost, prev, settled
+
+
+def _epath(prev: dict, node: int) -> list[int]:
+    path = []
+    while prev.get(node) is not None:
+        u, eid = prev[node]
+        path.append(eid)
+        node = u
+    return path[::-1]
+
+
+def shortest_paths_to_targets(adj: dict, origin: int, targets, max_dist: float,
+                              edge_speed: dict | None = None,
+                              edge_dist: dict | None = None) -> list[dict]:
+    """Shortest paths from one origin to many targets (the demand-driven
+    sp-table row generator). Each row mirrors the reference search result
+    (/root/reference/mapmatching/graph/geograph.py:50-70):
+    cost, epath (list[int] | None), path_speed (dist-weighted mean edge
+    speed along the path; 0.0 when the path is empty/degenerate)."""
+    targets = [int(t) for t in targets]
+    cost, prev, settled = bounded_dijkstra(adj, int(origin), max_dist, set(targets))
+    rows = []
+    for t in targets:
+        if t == origin:
+            rows.append({"o_node": origin, "d_node": t, "cost": 0.0,
+                         "epath": None, "path_speed": 0.0})
+            continue
+        if t not in settled or t not in cost:
+            rows.append({"o_node": origin, "d_node": t, "cost": math.inf,
+                         "epath": None, "path_speed": 0.0})
+            continue
+        ep = _epath(prev, t)
+        if edge_speed is not None and ep:
+            w = np.array([edge_dist[e] for e in ep], dtype=np.float64)
+            s = np.array([edge_speed[e] for e in ep], dtype=np.float64)
+            ps = float(np.average(s, weights=w)) if w.sum() > 0 else 0.0
+        else:
+            ps = 0.0
+        rows.append({"o_node": origin, "d_node": t, "cost": float(cost[t]),
+                     "epath": ep if ep else None, "path_speed": ps})
+    return rows

@@ -1,0 +1,77 @@
+"""Road-network container shared by the oracle (in-process) and the engine
+(broadcast to executors + relational cell index / sp table).
+
+Models the matcher's edge slice `['eid','src','dst','way_id','dir','dist',
+'speed','geometry']` (/root/reference/mapmatching/matching.py:50-52) with
+geometry as plain coordinate arrays instead of shapely objects, plus the
+derived structures the Spark plan needs: the cell->eid inverted index
+(replacing gdf.sindex) and the Dijkstra adjacency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import MatchConfig
+from ..kernels.cells import polyline_cover_cells
+from ..kernels.geodesy import seq_lengths
+from ..kernels.projection import project_coords
+from .dijkstra import build_adjacency
+
+
+class Network:
+    """edges: DataFrame(eid,src,dst,way_id,dir,speed,geom) with geom as a
+    list of [lon,lat] pairs; nodes: DataFrame(nid,x,y) in lon/lat."""
+
+    def __init__(self, edges: pd.DataFrame, nodes: pd.DataFrame, cfg: MatchConfig):
+        self.cfg = cfg
+        self.nodes = nodes.reset_index(drop=True)
+        edges = edges.reset_index(drop=True)
+
+        geom_xy = [project_coords(np.asarray(g, dtype=np.float64), cfg.lon0, cfg.lat0)
+                   for g in edges["geom"]]
+        # metric length recomputed in the pinned projection, mirroring the
+        # reference's projected-length recompute (geograph.py:302-310)
+        dist = np.array([seq_lengths(g)[1] for g in geom_xy])
+        self.edges = edges.assign(dist=dist)
+        self.edges["geom_xy"] = geom_xy
+
+        self.adj = build_adjacency(self.edges)
+        self.edge_coords = {int(e): g for e, g in zip(self.edges.eid, geom_xy)}
+        self.edge_speed = dict(zip(self.edges.eid.astype(int), self.edges.speed.astype(float)))
+        self.edge_dist = dict(zip(self.edges.eid.astype(int), self.edges.dist.astype(float)))
+        self.edge_src = dict(zip(self.edges.eid.astype(int), self.edges.src.astype(int)))
+        self.edge_dst = dict(zip(self.edges.eid.astype(int), self.edges.dst.astype(int)))
+
+        xs = np.concatenate([g[:, 0] for g in geom_xy])
+        ys = np.concatenate([g[:, 1] for g in geom_xy])
+        self.bbox_xy = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+
+    # -- derived relational structures ------------------------------------
+    def cell_index(self) -> pd.DataFrame:
+        """(cell, eid) inverted index: every grid cell an edge's geometry
+        (conservatively) touches. The engine broadcasts this and equi-joins
+        exploded point covers against it — the Catalyst-friendly stand-in
+        for sindex.query_bulk (/root/reference/mapmatching/geo/query.py:92-97)."""
+        cells, eids = [], []
+        for eid, g in self.edge_coords.items():
+            cs = polyline_cover_cells(g, self.cfg.cell_size)
+            cells.append(cs)
+            eids.append(np.full(len(cs), eid, dtype=np.int64))
+        return pd.DataFrame({"cell": np.concatenate(cells), "eid": np.concatenate(eids)})
+
+    def edge_attrs(self) -> pd.DataFrame:
+        """Columns the candidate join needs, geometry as list-of-[x,y]."""
+        df = self.edges[["eid", "src", "dst", "way_id", "dir", "dist", "speed"]].copy()
+        df["geom_xy"] = [g.tolist() for g in self.edges["geom_xy"]]
+        return df
+
+    def vpath_from_epath(self, epath) -> list[int] | None:
+        """edge-id path -> node-id path
+        (/root/reference/mapmatching/graph/base.py:190-193)."""
+        if epath is None or len(epath) == 0:
+            return None
+        out = [self.edge_src[int(e)] for e in epath]
+        out.append(self.edge_dst[int(epath[-1])])
+        return out

@@ -1,0 +1,409 @@
+"""ST-Matching HMM math: transition-pair construction, flag identification,
+probability scoring, beam Viterbi, path stitching.
+
+Pure pandas/numpy — shared verbatim by the oracle and by the engine's
+`applyInPandas` / `mapInPandas` stages. Semantics re-derived from:
+
+* pair construction + flags:  /root/reference/mapmatching/match/candidatesGraph.py:58-166
+* dist/temporal/trans probs:  /root/reference/mapmatching/match/spatialAnalysis.py:10-151
+* dir prob:                   /root/reference/mapmatching/match/dir_similarity.py:6-15,
+                              /root/reference/mapmatching/geo/azimuth.py:175-208
+* beam Viterbi + pruning:     /root/reference/mapmatching/match/viterbi.py:17-154
+* path stitch + status:       /root/reference/mapmatching/match/postprocess.py:13-97
+
+Engine-vs-reference divergences (all deliberate, all shared with the oracle):
+* ties in per-layer pruning and in top-k candidate cuts are broken by
+  explicit keys (prob desc, eid_1, eid_0) instead of pandas' unstable sort;
+* a fully-empty forward lattice returns status FAILED instead of raising;
+* the reference's `get_shared_line` (match/misc.py:42-52) has an inverted
+  None-check and in practice returns `step_n` whenever `step_0` exists —
+  we reproduce that observable behavior directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import MatchConfig
+from .geodesy import bearing_deg, polyline_bearing_cos_dist
+
+# status codes (/root/reference/mapmatching/match/status.py:3-14)
+STATUS_SUCCESS = 0
+STATUS_SAME_LINK = 1
+STATUS_ONE_POINT = 2
+STATUS_NO_CANDIDATES = 3
+STATUS_FAILED = 4
+STATUS_UNKNOWN = 99
+
+FLAG_NORMAL = 0
+FLAG_SAME_SRC_FIRST = 1
+FLAG_SAME_SRC_LAST = 2
+
+_EPS = 1e-6
+
+
+def gaussian_emission(dist: np.ndarray, sigma: float = 20.0, bias: float = 0.0) -> np.ndarray:
+    """Unnormalized Gaussian observation density
+    (geometricAnalysis.py:19-23). Normalization by the per-trajectory max
+    and the sqrt happen at the caller (they need the whole candidate set)."""
+    factor = 1.0 / (np.sqrt(2.0 * np.pi) * sigma)
+    d = np.asarray(dist, dtype=np.float64)
+    return factor * np.exp(-np.power(d - bias, 2) / (2.0 * sigma * sigma))
+
+
+def observ_prob_from_density(density: np.ndarray, traj_max_density: np.ndarray) -> np.ndarray:
+    """sqrt(density / max density over the trajectory's candidate set)
+    (geometricAnalysis.py:24-28 with normal=True)."""
+    return np.sqrt(np.asarray(density, dtype=np.float64) / np.asarray(traj_max_density, dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
+# transition pairs
+# ---------------------------------------------------------------------------
+
+def layer_params(layer_points: pd.DataFrame) -> pd.DataFrame:
+    """Straight-line distance + heading between *consecutive candidate
+    layers* (candidatesGraph.py:14-56 — note the reference computes these
+    on points.loc[cands.pid.unique()], i.e. only layers that have
+    candidates). Expects columns pid, x, y sorted by pid."""
+    pts = layer_points.sort_values("pid").reset_index(drop=True)
+    x = pts.x.to_numpy()
+    y = pts.y.to_numpy()
+    d = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+    move_dir = bearing_deg(x[:-1], y[:-1], x[1:], y[1:])
+    return pd.DataFrame({
+        "pid_0": pts.pid.to_numpy()[:-1],
+        "pid_1": pts.pid.to_numpy()[1:],
+        "d_euc": d,
+        "move_dir": np.atleast_1d(move_dir),
+    })
+
+
+def build_transition_pairs(cands: pd.DataFrame, layer_points: pd.DataFrame) -> pd.DataFrame:
+    """Cartesian product of consecutive candidate layers
+    (candidatesGraph.py:117-166). ``cands`` needs columns
+    pid, eid, src, dst, dist, speed, len0, len1, seg0, seg1, observ_prob.
+
+    Output column glossary (matching the reference's renames at
+    candidatesGraph.py:122-127):
+      step_0 / step_0_len : tail of the FIRST edge after its projection
+                            (cand_0.seg1 / cand_0.len1)
+      step_n / step_n_len : head of the LAST edge up to its projection
+                            (cand_1.seg0 / cand_1.len0)
+      left_seg0/left_len0 : cand_0's own head cut, needed by the
+                            approx-point reset in identify_flags.
+    """
+    layer_ids = np.sort(cands.pid.unique())
+    nxt = dict(zip(layer_ids[:-1], layer_ids[1:]))
+
+    left = cands[["pid", "eid", "dist", "speed", "dst", "len1", "seg1", "len0", "seg0"]].rename(
+        columns={"pid": "pid_0", "eid": "eid_0", "dist": "dist_0", "speed": "speed_0",
+                 "len1": "step_0_len", "seg1": "step_0",
+                 "len0": "left_len0", "seg0": "left_seg0"})
+    left["pid_1"] = left.pid_0.map(nxt)
+    left = left[left.pid_1.notna()].copy()
+    left["pid_1"] = left.pid_1.astype(np.int64)
+
+    right = cands[["pid", "eid", "dist", "speed", "src", "len0", "seg0", "observ_prob"]].rename(
+        columns={"pid": "pid_1", "eid": "eid_1", "dist": "dist_1", "speed": "speed_1",
+                 "len0": "step_n_len", "seg0": "step_n"})
+
+    gt = left.merge(right, on="pid_1", how="inner")
+    gt = gt.merge(layer_params(layer_points), on=["pid_0", "pid_1"], how="left")
+    return gt.reset_index(drop=True)
+
+
+def identify_flags(gt: pd.DataFrame, dist_eps: float = 5.0, ratio_eps: float = 0.05) -> pd.DataFrame:
+    """Classify same-edge pairs and apply the near-point merge
+    (candidatesGraph.py:58-114). Mutates/returns gt with columns
+    flag, o_node, d_node (shortest-path endpoints after the
+    SAME_SRC_FIRST swap)."""
+    offset_0 = gt.dist_0.to_numpy() - gt.step_0_len.to_numpy()       # proj_0 offset on edge_0
+    step_n_len = gt.step_n_len.to_numpy()
+
+    cond_1 = offset_0 <= step_n_len
+    relaxed = np.minimum(np.maximum(0.0, offset_0 - dist_eps), offset_0 * (1.0 - ratio_eps))
+    cond = relaxed <= step_n_len
+
+    # near-point merge: proj_0 barely past proj_1 -> treat the head cut of
+    # cand_0 as the step_n of the row (applies to ALL rows, same-edge or not,
+    # exactly as the reference does at candidatesGraph.py:99-105)
+    approx = cond & (~cond_1)
+    if approx.any():
+        idx = np.flatnonzero(approx)
+        gt.loc[gt.index[idx], "step_n_len"] = gt.left_len0.to_numpy()[idx]
+        seg_col = gt.columns.get_loc("step_n")
+        left_col = gt.columns.get_loc("left_seg0")
+        for i in idx:
+            gt.iat[i, seg_col] = gt.iat[i, left_col]
+
+    same_edge = gt.eid_0.to_numpy() == gt.eid_1.to_numpy()
+    flag = np.where(same_edge & cond, FLAG_SAME_SRC_FIRST,
+                    np.where(same_edge & (~cond), FLAG_SAME_SRC_LAST, FLAG_NORMAL))
+    gt["flag"] = flag.astype(np.int32)
+
+    # shortest-path endpoints: normally edge_0.dst -> edge_1.src; the
+    # SAME_SRC_FIRST swap (candidatesGraph.py:107-109 + the search-arg
+    # order at spatialAnalysis.py:54) makes it edge.src -> edge.dst.
+    first = gt.flag.to_numpy() == FLAG_SAME_SRC_FIRST
+    gt["o_node"] = np.where(first, gt.src.to_numpy(), gt.dst.to_numpy()).astype(np.int64)
+    gt["d_node"] = np.where(first, gt.dst.to_numpy(), gt.src.to_numpy()).astype(np.int64)
+    return gt
+
+
+# ---------------------------------------------------------------------------
+# scoring
+# ---------------------------------------------------------------------------
+
+def path_coords_from_epath(epath, edge_coords: dict) -> np.ndarray | None:
+    """Stitch edge geometries along a path, dropping the duplicated joint
+    vertex between consecutive edges."""
+    if epath is None or len(epath) == 0:
+        return None
+    parts = [np.asarray(edge_coords[int(epath[0])], dtype=np.float64)]
+    for e in epath[1:]:
+        parts.append(np.asarray(edge_coords[int(e)], dtype=np.float64)[1:])
+    return np.concatenate(parts)
+
+
+def finalize_scores(gt: pd.DataFrame, edge_coords: dict, dir_trans: bool,
+                    cfg: MatchConfig = MatchConfig()) -> pd.DataFrame:
+    """Compute avg_speed, d_sht, dist_prob, dir_prob, trans_prob given the
+    shortest-path attach columns ``cost`` (inf if unreachable, 0 if
+    o_node==d_node), ``epath`` (list|None) and ``path_speed``
+    (spatialAnalysis.py:10-121 + dir_similarity.py:6-15)."""
+    if gt.empty:
+        for c in ("avg_speed", "d_sht", "dist_prob", "dir_prob", "trans_prob"):
+            gt[c] = np.array([], dtype=np.float64)
+        return gt
+
+    cost = gt.cost.to_numpy(dtype=np.float64)
+    step_0_len = gt.step_0_len.to_numpy(dtype=np.float64)
+    step_n_len = gt.step_n_len.to_numpy(dtype=np.float64)
+
+    # temporal: weighted average of (speed_0, speed_1, path_speed) with
+    # weights (step_0_len, step_n_len, cost); 0/inf weights -> eps
+    # (spatialAnalysis.py:79-111)
+    speeds = np.stack([gt.speed_0.to_numpy(dtype=np.float64),
+                       gt.speed_1.to_numpy(dtype=np.float64),
+                       gt.path_speed.to_numpy(dtype=np.float64)], axis=1)
+    weights = np.stack([step_0_len, step_n_len, cost], axis=1)
+    weights = np.where(~np.isfinite(weights) | (weights == 0), _EPS, weights)
+    gt["avg_speed"] = (speeds * weights).sum(axis=1) / weights.sum(axis=1)
+
+    # shortest-path distance (spatialAnalysis.py:60-69)
+    d_sht = cost + step_0_len + step_n_len
+    flag1 = gt.flag.to_numpy() == FLAG_SAME_SRC_FIRST
+    d_sht = np.where(flag1, step_0_len + step_n_len - gt.dist_0.to_numpy(dtype=np.float64), d_sht)
+    d_euc = gt.d_euc.to_numpy(dtype=np.float64)
+    d_sht = np.where(flag1 & (d_sht < _EPS), d_euc, d_sht)
+    gt["d_sht"] = d_sht
+    if flag1.any():
+        gt.loc[gt.flag == FLAG_SAME_SRC_FIRST, "epath"] = None
+
+    # dist_prob = min(d_euc/d_sht, d_sht/d_euc) (spatialAnalysis.py:71-75)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = d_euc / d_sht
+        r = np.where(r > 1.0, 1.0 / r, r)
+        r = np.where(d_sht == 0, np.where(d_euc == 0, np.nan, 0.0), r)
+        r = np.where(np.isinf(d_sht), 0.0, r)
+    gt["dist_prob"] = r
+
+    if not dir_trans:
+        gt["dir_prob"] = np.nan
+        gt["trans_prob"] = gt.dist_prob
+        return gt
+
+    # direction prob over the stitched step geometry
+    dir_prob = np.empty(len(gt), dtype=np.float64)
+    step0_list = gt.step_0.tolist()
+    stepn_list = gt.step_n.tolist()
+    epaths = gt.epath.tolist()
+    move_dirs = gt.move_dir.to_numpy(dtype=np.float64)
+    for i in range(len(gt)):
+        if flag1[i]:
+            geom = stepn_list[i] if step0_list[i] is not None else None
+        else:
+            parts = [p for p in (step0_list[i],
+                                 path_coords_from_epath(epaths[i], edge_coords),
+                                 stepn_list[i]) if p is not None and len(p) > 0]
+            geom = np.concatenate([np.asarray(p, dtype=np.float64) for p in parts]) if parts else None
+        dir_prob[i] = polyline_bearing_cos_dist(geom, move_dirs[i])
+    gt["dir_prob"] = dir_prob
+    gt["trans_prob"] = gt.dist_prob * gt.dir_prob
+    return gt
+
+
+# ---------------------------------------------------------------------------
+# beam Viterbi
+# ---------------------------------------------------------------------------
+
+def _prune(pid_0, eid_0, eid_1, prob, level: int, prev_scores: dict, cfg: MatchConfig):
+    """One beam-prune step (viterbi.py:17-69). Returns (eid_1 winners,
+    eid_0 back-pointers, probs) in pop order."""
+    if level < cfg.prune_start_layer:
+        order = np.lexsort((eid_0, eid_1, -prob))
+        cap = len(order)
+    else:
+        ps = np.array([prev_scores.get(int(e), 1.0) for e in eid_0]) * prob
+        if len(ps) == 0 or not np.isfinite(np.nanmax(ps)):
+            thred = -np.inf
+        else:
+            thred = np.nanmax(ps) * cfg.prune_trim_factor
+        keep = np.flatnonzero(prob >= thred)
+        order = keep[np.lexsort((eid_0[keep], eid_1[keep], -prob[keep]))]
+        cap = cfg.beam_cap
+
+    win_e1, win_e0, win_p = [], [], []
+    seen = set()
+    for j in order[:cap]:
+        e1 = int(eid_1[j])
+        if e1 in seen:
+            continue
+        seen.add(e1)
+        win_e1.append(e1)
+        win_e0.append(int(eid_0[j]))
+        win_p.append(float(prob[j]))
+    return win_e1, win_e0, win_p
+
+
+def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = MatchConfig()):
+    """Forward beam pass + back-pointer reconstruction
+    (viterbi.py:107-154, 71-95). ``gt`` must already be scored
+    (trans_prob, observ_prob columns). Returns (end_prob, rList DataFrame
+    with columns pid, eid)."""
+    layer_ids = np.sort(cands.pid.unique())
+    start = (cands[cands.pid == 0]
+             .sort_values(["dist_p2c", "eid"])  # deterministic dict order
+             .set_index("eid")["observ_prob"].to_dict())
+    f_score = [dict(start)]
+    prev_path = {0: {st: None for st in start}}
+    prev_states = set(start)
+
+    by_layer = dict(tuple(gt.groupby("pid_0"))) if len(gt) else {}
+
+    for idx, lvl in enumerate(layer_ids[:-1]):
+        layer = by_layer.get(int(lvl))
+        if layer is None:
+            f_score.append({})
+            prev_states = set()
+            continue
+        e0 = layer.eid_0.to_numpy()
+        sel_mask = np.isin(e0, list(prev_states)) if prev_states else np.zeros(len(e0), dtype=bool)
+        if not sel_mask.any():
+            # HMM break: restart with prev prob = 1 over the full layer
+            # (viterbi.py:122-126)
+            sel = layer
+            prev = np.ones(len(sel), dtype=np.float64)
+        else:
+            sel = layer[sel_mask]
+            prev = np.array([f_score[-1][int(e)] for e in sel.eid_0], dtype=np.float64)
+
+        prob = prev * (sel.trans_prob.to_numpy(dtype=np.float64)
+                       * sel.observ_prob.to_numpy(dtype=np.float64))
+        win_e1, win_e0, win_p = _prune(
+            sel.pid_0.to_numpy(), sel.eid_0.to_numpy(), sel.eid_1.to_numpy(),
+            prob, idx, f_score[-1], cfg)
+
+        prev_path[idx + 1] = {e1: (idx, e0) for e1, e0 in zip(win_e1, win_e0)}
+        f_score.append(dict(zip(win_e1, win_p)))
+        prev_states = set(win_e1)
+
+    # ------------------------------------------------------------------ walk
+    epath, state, end_probs = [], None, []
+    for idx in range(len(f_score) - 1, 0, -1):
+        if state is None:
+            f = f_score[idx]
+            if not f:
+                continue
+            state = max(f, key=f.get)
+            end_probs.append(f[state])
+        cur = (idx, state)
+        if idx not in prev_path or state not in prev_path[idx]:
+            state = None
+            continue
+        prev = prev_path[idx][state]
+        if not epath or cur != epath[-1]:
+            epath.append(cur)
+        epath.append(prev)
+        state = prev[1]
+    epath = epath[::-1]
+
+    if not end_probs:
+        return 0.0, pd.DataFrame({"pid": [], "eid": []})
+
+    end_prob = float(sum(end_probs) / len(end_probs))
+    rlist = pd.DataFrame({"pid": [int(layer_ids[i]) for i, _ in epath],
+                          "eid": [int(e) for _, e in epath]})
+    return end_prob, rlist
+
+
+# ---------------------------------------------------------------------------
+# path stitch
+# ---------------------------------------------------------------------------
+
+def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
+                end_prob: float, cfg: MatchConfig = MatchConfig(),
+                dir_trans: bool = True) -> dict:
+    """Assemble the final matched path + metrics (postprocess.py:13-97)."""
+    res = {"status": STATUS_UNKNOWN, "epath": None, "step_0": np.nan, "step_n": np.nan,
+           "dist": np.nan, "avg_speed": np.nan, "prob": end_prob,
+           "norm_prob": np.nan, "dist_prob": np.nan, "trans_prob": np.nan,
+           "dir_prob": np.nan}
+    if rlist.empty:
+        res["status"] = STATUS_FAILED
+        return res
+
+    ck = cands.set_index(["pid", "eid"])
+    first = ck.loc[(int(rlist.iloc[0].pid), int(rlist.iloc[0].eid))]
+    last = ck.loc[(int(rlist.iloc[-1].pid), int(rlist.iloc[-1].eid))]
+    res["step_0"] = float(first["len0"] / (first["len0"] + first["len1"]))
+    res["step_n"] = float(last["len0"] / (last["len0"] + last["len1"]))
+
+    if len(rlist) == 1:
+        res["epath"] = [int(rlist.iloc[0].eid)]
+        res["status"] = STATUS_FAILED if end_prob < cfg.prob_thres else STATUS_SAME_LINK
+        return res
+
+    gk = gt.set_index(["pid_0", "eid_0", "eid_1"])
+    keys = [(int(rlist.iloc[i].pid), int(rlist.iloc[i].eid), int(rlist.iloc[i + 1].eid))
+            for i in range(len(rlist) - 1)]
+    if any(k not in gk.index for k in keys):
+        # only reachable via the empty-lattice guard in viterbi_beam;
+        # the reference raises here, we degrade to FAILED
+        res["status"] = STATUS_FAILED
+        return res
+    steps = gk.loc[keys, ["epath", "d_sht", "avg_speed", "dist_prob", "trans_prob"]].reset_index()
+
+    eids = []
+    for _, s in steps.iterrows():
+        eids.append(int(s.eid_0))
+        ep = s.epath
+        if ep is not None and not (isinstance(ep, float) and np.isnan(ep)) and len(ep) > 0:
+            eids.extend(int(e) for e in ep)
+    eids.append(int(steps.iloc[-1].eid_1))
+    dedup = [eids[0]] + [e for i, e in enumerate(eids[1:]) if e != eids[i]]
+    res["epath"] = dedup
+
+    if len(dedup) == 1:
+        res["status"] = STATUS_FAILED if end_prob < cfg.prob_thres else STATUS_SAME_LINK
+        return res
+
+    d_sht = steps.d_sht.to_numpy(dtype=np.float64)
+    res["dist"] = float(d_sht.sum())
+    with np.errstate(invalid="ignore"):
+        res["avg_speed"] = float(np.average(steps.avg_speed.to_numpy(dtype=np.float64), weights=d_sht)) \
+            if d_sht.sum() > 0 else float("nan")
+
+    coef = 1.0 / len(steps)
+    dist_prob = float(np.prod(steps.dist_prob.to_numpy(dtype=np.float64)))
+    trans_prob = float(np.prod(steps.trans_prob.to_numpy(dtype=np.float64)))
+    res["norm_prob"] = float(np.power(end_prob, coef))
+    res["dist_prob"] = float(np.power(dist_prob, coef))
+    res["trans_prob"] = float(np.power(trans_prob, coef))
+    if dir_trans:
+        res["dir_prob"] = res["trans_prob"] / res["dist_prob"] if res["dist_prob"] else float("nan")
+
+    res["status"] = STATUS_FAILED if res["trans_prob"] < cfg.prob_thres else STATUS_SUCCESS
+    return res
