@@ -224,11 +224,15 @@ def finalize_scores(gt: pd.DataFrame, edge_coords: dict, dir_trans: bool,
     for i in range(len(gt)):
         if flag1[i]:
             geom = stepn_list[i] if step0_list[i] is not None else None
+            if geom is not None and len(geom) > 0:
+                geom = np.vstack(geom).astype(np.float64)
         else:
             parts = [p for p in (step0_list[i],
                                  path_coords_from_epath(epaths[i], edge_coords),
                                  stepn_list[i]) if p is not None and len(p) > 0]
-            geom = np.concatenate([np.asarray(p, dtype=np.float64) for p in parts]) if parts else None
+            # np.vstack instead of asarray: Arrow hands nested lists as
+            # object arrays of row arrays
+            geom = np.concatenate([np.vstack(p).astype(np.float64) for p in parts]) if parts else None
         dir_prob[i] = polyline_bearing_cos_dist(geom, move_dirs[i])
     gt["dir_prob"] = dir_prob
     gt["trans_prob"] = gt.dist_prob * gt.dir_prob

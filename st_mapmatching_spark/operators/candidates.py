@@ -1,0 +1,160 @@
+"""Candidate retrieval: extraction -> simplify -> cell-cover spatial join ->
+exact linear-referencing refine -> radius filter -> top-k -> emission prob.
+
+This is THE core join (SURVEY.md §2.3): the reference's STRtree
+box-query (/root/reference/mapmatching/geo/query.py:92-118) becomes a
+cell equi-join that Catalyst can broadcast, followed by an exact refine.
+Final semantics are identical: dist_p2c <= radius, then top-k per point
+(/root/reference/mapmatching/geo/query.py:102-105,162-182) with explicit
+(dist_p2c, eid) tie-breaks, then the Gaussian observation probability
+normalized by the per-trajectory max
+(/root/reference/mapmatching/match/geometricAnalysis.py:6-28,41-42).
+
+Scale notes (100 TB / 10^12 pages):
+* the pages scan only reads (url, text) — column pruning at the parquet
+  scan; `warc_ts` partition pruning applies upstream.
+* points explode to <= 4 cover cells each (cell_size >= radius), so the
+  join input is ~4x points, not quadratic.
+* the cell index is broadcast when small (city/regional networks); for a
+  planet network pass broadcast_index=False to shuffle-hash join on
+  `cell` — AQE's skew-join splits hot urban cells, and a salting map can
+  be layered on the same column.
+* everything below the two Arrow stages (extract, refine) is pure column
+  arithmetic inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import MatchConfig
+from ..functions.geo_cols import cell_col, xy_cols
+from ..graph.network import Network
+from ..kernels.linear_ref import project_points_onto_polylines
+from ..kernels.simplify import simplify_points
+from ..sources.extract import extract_points
+
+TRAJ_SCHEMA = "url string, pid_raw long, x double, y double, t_epoch long"
+POINTS_SCHEMA = "url string, pid int, x double, y double"
+REFINE_SCHEMA = ("url string, pid int, x double, y double, eid long, src long, dst long, "
+                 "way_id long, dir int, dist double, speed double, dist_p2c double, "
+                 "len0 double, len1 double, proj array<double>, "
+                 "seg0 array<array<double>>, seg1 array<array<double>>")
+
+
+def extract_trajs(pages: DataFrame) -> DataFrame:
+    """pages -> (url, pid_raw, x, y, t_epoch) via the vectorized GEO-line
+    extractor in mapInPandas (Arrow batches; the text column is read-only)."""
+
+    def op(batches):
+        for pdf in batches:
+            yield extract_points(pdf)
+
+    return pages.select("url", "text").mapInPandas(op, schema=TRAJ_SCHEMA)
+
+
+def simplify_trajs(trajs: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """Per-trajectory Douglas-Peucker in metric coords; emits dense pid
+    0..m-1 (matching the reference's reset_index at
+    /root/reference/mapmatching/geo/ops/simplify.py:73-82). x/y out are
+    metric. The projection to metric happens JVM-side before grouping."""
+    lon0, lat0 = cfg.lon0, cfg.lat0
+    x, y = xy_cols(F.col("x"), F.col("y"), lon0, lat0)
+    pts = trajs.select("url", "pid_raw", x.alias("xm"), y.alias("ym"))
+
+    tolerance = cfg.tolerance
+    do_simplify = cfg.simplify
+
+    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid_raw")
+        xy = pdf[["xm", "ym"]].to_numpy()
+        idx = simplify_points(xy, tolerance) if do_simplify and len(xy) > 1 else np.arange(len(xy))
+        out = pdf.iloc[idx]
+        return pd.DataFrame({"url": out.url.to_numpy(),
+                             "pid": np.arange(len(idx), dtype=np.int32),
+                             "x": out.xm.to_numpy(), "y": out.ym.to_numpy()})
+
+    return pts.groupBy("url").applyInPandas(op, schema=POINTS_SCHEMA)
+
+
+def network_frames(spark: SparkSession, net: Network):
+    """(cell_index_df, edge_attrs_df) as Spark DataFrames."""
+    idx = spark.createDataFrame(net.cell_index())
+    attrs = spark.createDataFrame(
+        net.edge_attrs(),
+        schema=("eid long, src long, dst long, way_id long, dir int, "
+                "dist double, speed double, geom_xy array<array<double>>"))
+    return idx, attrs
+
+
+def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFrame,
+                   cfg: MatchConfig, broadcast_index: bool = True) -> DataFrame:
+    """points(url,pid,x,y metric) x edges -> candidates with projection.
+
+    Plan: explode each point's +-radius box into its <= 4 cover cells
+    (JVM-side sequence+explode), equi-join the broadcast cell->eid index,
+    de-dup (url,pid,eid), attach edge attrs, refine with the exact
+    linear-referencing kernel, filter by radius, cut top-k per point,
+    attach observ_prob normalized per trajectory.
+    """
+    cs = cfg.cell_size
+    r = cfg.radius
+
+    ix0 = F.floor((F.col("x") - r) / cs).cast("long")
+    ix1 = F.floor((F.col("x") + r) / cs).cast("long")
+    iy0 = F.floor((F.col("y") - r) / cs).cast("long")
+    iy1 = F.floor((F.col("y") + r) / cs).cast("long")
+
+    covered = (points
+               .withColumn("ix", F.explode(F.sequence(ix0, ix1)))
+               .withColumn("iy", F.explode(F.sequence(iy0, iy1)))
+               .withColumn("cell", cell_col(F.col("ix"), F.col("iy")))
+               .drop("ix", "iy"))
+
+    idx = F.broadcast(cell_index) if broadcast_index else cell_index
+    pairs = (covered.join(idx, "cell")
+             .select("url", "pid", "x", "y", "eid")
+             .dropDuplicates(["url", "pid", "eid"]))
+
+    cands = pairs.join(F.broadcast(edge_attrs), "eid")
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = project_points_onto_polylines(
+                pdf[["x", "y"]].to_numpy(),
+                [np.vstack(g).astype(np.float64) for g in pdf["geom_xy"]])
+            out = pdf.drop(columns=["geom_xy"]).copy()
+            out["dist_p2c"] = res["dist"]
+            out["len0"] = res["len0"]
+            out["len1"] = res["len1"]
+            out["proj"] = [p.tolist() for p in res["proj"]]
+            out["seg0"] = [None if s is None else s.tolist() for s in res["seg0"]]
+            out["seg1"] = [None if s is None else s.tolist() for s in res["seg1"]]
+            yield out
+
+    refined = cands.mapInPandas(refine, schema=REFINE_SCHEMA)
+    refined = refined.filter(F.col("dist_p2c") <= r)
+
+    w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
+    topk = (refined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cfg.top_k).drop("rn"))
+
+    # Gaussian emission, normalized by the per-trajectory max density —
+    # pure column math + one window, no UDF
+    factor = 1.0 / (math.sqrt(2.0 * math.pi) * cfg.gps_sigma)
+    dens = F.lit(factor) * F.exp(
+        -F.pow(F.col("dist_p2c") - cfg.gps_bias, F.lit(2.0))
+        / F.lit(2.0 * cfg.gps_sigma ** 2))
+    wt = Window.partitionBy("url")
+    topk = topk.withColumn("_dens", dens)
+    topk = topk.withColumn("observ_prob",
+                           F.sqrt(F.col("_dens") / F.max("_dens").over(wt))).drop("_dens")
+    return topk

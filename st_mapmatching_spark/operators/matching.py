@@ -1,0 +1,181 @@
+"""The map-matching pipeline: transition pairs -> flags -> shortest-path
+attach -> scoring -> per-trajectory beam Viterbi.
+
+Stage map (Spark lifecycle of ST_Matching.matching, SURVEY.md §3.1):
+  pairs  : layer self-join of the candidate table — pure DataFrame joins
+           (candidatesGraph.py:117-166 at table granularity)
+  flags  : F.when column arithmetic (candidatesGraph.py:58-114)
+  sp     : broadcast-adjacency Dijkstra fan-out + equi-join back
+  scores : one Arrow pass with the shared numpy kernel (dist/temporal/
+           dir/trans probs, spatialAnalysis.py:10-151); when
+           dir_trans=False the whole scoring stays JVM-side
+  viterbi: cogrouped applyInPandas keyed by url — the only genuinely
+           sequential state (viterbi.py:107-154)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import MatchConfig
+from ..functions.geo_cols import bearing_col
+from ..graph.network import Network
+from ..kernels import hmm
+from .candidates import candidate_join, extract_trajs, network_frames, simplify_trajs
+from .shortest_paths import shortest_path_table
+
+MATCHED_SCHEMA = ("url string, status int, epath array<long>, step_0 double, "
+                  "step_n double, dist double, avg_speed double, prob double, "
+                  "norm_prob double, dist_prob double, trans_prob double, dir_prob double")
+
+SCORED_COLS = ["url", "pid_0", "pid_1", "eid_0", "eid_1", "flag", "observ_prob",
+               "trans_prob", "dist_prob", "dir_prob", "d_sht", "avg_speed", "epath"]
+
+
+def build_pairs_df(cands: DataFrame, points: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """Consecutive-layer Cartesian product + flag identification + straight
+    -line params, all relational."""
+    left = cands.select(
+        "url", F.col("pid").alias("pid_0"), F.col("eid").alias("eid_0"),
+        F.col("dist").alias("dist_0"), F.col("speed").alias("speed_0"),
+        "dst", F.col("seg1").alias("step_0"), F.col("len1").alias("step_0_len"),
+        F.col("seg0").alias("left_seg0"), F.col("len0").alias("left_len0"))
+
+    right = cands.select(
+        "url", F.col("pid").alias("pid_1"), F.col("eid").alias("eid_1"),
+        F.col("dist").alias("dist_1"), F.col("speed").alias("speed_1"),
+        "src", F.col("seg0").alias("step_n"), F.col("len0").alias("step_n_len"),
+        "observ_prob")
+
+    # consecutive candidate layers (pids that HAVE candidates), with the
+    # straight-line distance/heading between them (candidatesGraph.py:137-160)
+    layer_pts = cands.select("url", "pid").distinct().join(points, ["url", "pid"])
+    w = Window.partitionBy("url").orderBy("pid")
+    link = (layer_pts
+            .withColumn("pid_1", F.lead("pid").over(w))
+            .withColumn("x1", F.lead("x").over(w))
+            .withColumn("y1", F.lead("y").over(w))
+            .filter(F.col("pid_1").isNotNull())
+            .select("url", F.col("pid").alias("pid_0"), "pid_1",
+                    F.hypot(F.col("x1") - F.col("x"), F.col("y1") - F.col("y")).alias("d_euc"),
+                    bearing_col(F.col("x"), F.col("y"), F.col("x1"), F.col("y1")).alias("move_dir")))
+
+    gt = (left.join(link, ["url", "pid_0"])
+              .join(right, ["url", "pid_1"]))
+
+    # ---- flag identification (candidatesGraph.py:58-114), pure columns ----
+    eps_d, eps_r = cfg.flag_dist_eps, cfg.flag_ratio_eps
+    offset_0 = F.col("dist_0") - F.col("step_0_len")
+    cond_1 = offset_0 <= F.col("step_n_len")
+    relaxed = F.least(F.greatest(F.lit(0.0), offset_0 - eps_d), offset_0 * (1.0 - eps_r))
+    cond = relaxed <= F.col("step_n_len")
+    approx = cond & (~cond_1)
+    same = F.col("eid_0") == F.col("eid_1")
+
+    gt = (gt.withColumn("_approx", approx)
+            .withColumn("flag", F.when(same & cond, hmm.FLAG_SAME_SRC_FIRST)
+                                 .when(same & (~cond), hmm.FLAG_SAME_SRC_LAST)
+                                 .otherwise(hmm.FLAG_NORMAL).cast("int"))
+            .withColumn("step_n", F.when(F.col("_approx"), F.col("left_seg0")).otherwise(F.col("step_n")))
+            .withColumn("step_n_len", F.when(F.col("_approx"), F.col("left_len0")).otherwise(F.col("step_n_len")))
+            .withColumn("o_node", F.when(F.col("flag") == hmm.FLAG_SAME_SRC_FIRST, F.col("src")).otherwise(F.col("dst")))
+            .withColumn("d_node", F.when(F.col("flag") == hmm.FLAG_SAME_SRC_FIRST, F.col("dst")).otherwise(F.col("src")))
+            .drop("_approx", "left_seg0", "left_len0"))
+    return gt
+
+
+def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
+                   net: Network, cfg: MatchConfig) -> DataFrame:
+    """Attach shortest paths (equi-join on the precomputed table — the
+    distributed version of the reference's search memo) and compute the
+    transition probabilities with the shared kernel in one Arrow pass."""
+    joined = (pairs.join(sp, ["o_node", "d_node"], "left")
+              .withColumn("cost", F.coalesce(F.col("cost"), F.lit(float("inf"))))
+              .withColumn("path_speed", F.coalesce(F.col("path_speed"), F.lit(0.0))))
+
+    bc = spark.sparkContext.broadcast(net.edge_coords)
+    dir_trans = cfg.dir_trans
+
+    schema = ("url string, pid_0 int, pid_1 int, eid_0 long, eid_1 long, flag int, "
+              "observ_prob double, trans_prob double, dist_prob double, dir_prob double, "
+              "d_sht double, avg_speed double, epath array<long>")
+
+    def op(batches):
+        edge_coords = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scored = hmm.finalize_scores(pdf, edge_coords, dir_trans, cfg)
+            out = scored[SCORED_COLS].copy()
+            out["epath"] = [None if e is None or (isinstance(e, float) and np.isnan(e))
+                            else list(e) for e in out["epath"]]
+            yield out
+
+    return joined.mapInPandas(op, schema=schema)
+
+
+def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """Cogrouped per-trajectory beam Viterbi + path stitch (the stateful
+    core, viterbi.py:107-154 + postprocess.py:13-97)."""
+    cands_min = cands.select("url", "pid", "eid", "src", "dst",
+                             "dist_p2c", "observ_prob", "len0", "len1")
+    dir_trans = cfg.dir_trans
+
+    def fn(key, cpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES, "epath": None,
+                "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
+                "avg_speed": np.nan, "prob": np.nan, "norm_prob": np.nan,
+                "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
+        if len(cpdf) == 0:
+            return pd.DataFrame([base])
+        if cpdf.pid.nunique() == 1:
+            # single matched layer -> nearest edge (matching.py:170-178)
+            best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
+            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(best.eid)])
+            return pd.DataFrame([base])
+        gpdf = gpdf.copy()
+        gpdf["epath"] = [None if e is None else list(e) for e in gpdf["epath"]]
+        end_prob, rlist = hmm.viterbi_beam(cpdf, gpdf, cfg)
+        res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans)
+        base.update(res)
+        return pd.DataFrame([base])
+
+    return (cands_min.groupBy("url")
+            .cogroup(scored.groupBy("url"))
+            .applyInPandas(fn, schema=MATCHED_SCHEMA))
+
+
+def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
+                cfg: MatchConfig = MatchConfig(), broadcast_index: bool = True) -> DataFrame:
+    """pages -> matched, one row per url (SURVEY.md §1.2 result schema).
+
+    Urls whose trajectories produce no candidates anywhere (including
+    out-of-bbox, status 3) are re-attached via a left-anti join — the
+    engine's non-throwing version of the reference's bbox assert
+    (matching.py:155-168)."""
+    trajs = extract_trajs(pages)
+    points = simplify_trajs(trajs, cfg).persist()
+    cell_index, edge_attrs = network_frames(spark, net)
+    cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index).persist()
+
+    pairs = build_pairs_df(cands, points, cfg).persist()
+    demands = pairs.select("o_node", "d_node")
+    sp = shortest_path_table(spark, demands, net, cfg)
+    scored = score_pairs_df(spark, pairs, sp, net, cfg)
+
+    matched = viterbi_match(cands, scored, cfg)
+
+    no_cands = (points.select("url").distinct()
+                .join(matched.select("url"), "url", "left_anti")
+                .select("url",
+                        F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
+                        F.lit(None).cast("array<long>").alias("epath"),
+                        *[F.lit(None).cast("double").alias(c) for c in
+                          ("step_0", "step_n", "dist", "avg_speed", "prob",
+                           "norm_prob", "dist_prob", "trans_prob", "dir_prob")]))
+    return matched.unionByName(no_cands)

@@ -1,0 +1,100 @@
+"""Tiling queries: point-in-polygon tile assignment, kNN candidate search,
+raster<->vector aggregation (north_rule capabilities).
+
+Same architecture as the matching join: discrete cells make every spatial
+predicate an equi-join, then an exact numpy kernel refines. The reference's
+closest analogue is its generic spatial query surface
+(/root/reference/mapmatching/geo/query.py:12-118 and
+geograph.spatial_query /root/reference/mapmatching/graph/geograph.py:72-77);
+raster<->vector and tile assignment are new capabilities required by the
+graft's north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import MatchConfig
+from ..functions.geo_cols import cell_of_xy
+from ..graph.network import Network
+from ..kernels.cells import box_cover_cells
+from ..kernels.polygon import points_in_ring, ring_bbox
+
+
+def tiles_cell_cover(tiles: pd.DataFrame, cell_size: float) -> pd.DataFrame:
+    """tile_id -> covering cells of the tile's bbox (the coarse raster face
+    of the vector polygon — 'vectorize' direction of raster<->vector)."""
+    rows_c, rows_t = [], []
+    for tile_id, ring in zip(tiles.tile_id, tiles.polygon):
+        x0, y0, x1, y1 = ring_bbox(np.vstack(ring).astype(np.float64))
+        cells = box_cover_cells(x0, y0, x1, y1, cell_size)
+        rows_c.append(cells)
+        rows_t.append(np.full(len(cells), tile_id, dtype=np.int64))
+    return pd.DataFrame({"cell": np.concatenate(rows_c), "tile_id": np.concatenate(rows_t)})
+
+
+def assign_tiles(spark: SparkSession, points: DataFrame, tiles: pd.DataFrame,
+                 cfg: MatchConfig, exact: bool = True) -> DataFrame:
+    """points(url, pid, x, y metric) -> (url, pid, tile_id).
+
+    Plan: cell equi-join against the broadcast tile cover (prefilter), then
+    exact ray-cast refine in one Arrow pass. With exact=False (all tiles
+    rectangular), the refine short-circuits to bbox predicates that stay
+    JVM-side.
+    """
+    cover = spark.createDataFrame(tiles_cell_cover(tiles, cfg.cell_size))
+    pts = points.withColumn("cell", cell_of_xy(F.col("x"), F.col("y"), cfg.cell_size))
+    joined = pts.join(F.broadcast(cover), "cell").drop("cell")
+
+    if not exact:
+        bbox = pd.DataFrame([{**{"tile_id": t}, **dict(zip(("bx0", "by0", "bx1", "by1"),
+                                                           ring_bbox(np.vstack(p))))}
+                             for t, p in zip(tiles.tile_id, tiles.polygon)])
+        b = spark.createDataFrame(bbox)
+        return (joined.join(F.broadcast(b), "tile_id")
+                .filter((F.col("x") >= F.col("bx0")) & (F.col("x") <= F.col("bx1"))
+                        & (F.col("y") >= F.col("by0")) & (F.col("y") <= F.col("by1")))
+                .select("url", "pid", "x", "y", "tile_id"))
+
+    rings = {int(t): np.vstack(p).astype(np.float64) for t, p in zip(tiles.tile_id, tiles.polygon)}
+    bc = spark.sparkContext.broadcast(rings)
+
+    def refine(batches):
+        rr = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.reset_index(drop=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for tile_id, grp in pdf.groupby("tile_id"):
+                pos = grp.index.to_numpy()
+                keep[pos] = points_in_ring(grp.x.to_numpy(), grp.y.to_numpy(), rr[int(tile_id)])
+            yield pdf[keep]
+
+    schema = "url string, pid int, x double, y double, tile_id long"
+    return joined.select("url", "pid", "x", "y", "tile_id") \
+                 .mapInPandas(refine, schema=schema)
+
+
+def rasterize_points(points: DataFrame, cell_size: float,
+                     value: str | None = None) -> DataFrame:
+    """vector -> raster: aggregate points onto the cell grid.
+    Map-side partial aggregation makes this a single light shuffle."""
+    pts = points.withColumn("cell", cell_of_xy(F.col("x"), F.col("y"), cell_size))
+    aggs = [F.count("*").alias("n_points")]
+    if value is not None:
+        aggs.append(F.sum(value).alias(f"sum_{value}"))
+    return pts.groupBy("cell").agg(*aggs)
+
+
+def knn_edges(spark: SparkSession, points: DataFrame, net: Network,
+              cfg: MatchConfig, k: int | None = None) -> DataFrame:
+    """kNN candidate search exposed as a standalone API (the core join of
+    SURVEY.md §2.3, reused outside matching)."""
+    from .candidates import candidate_join, network_frames
+    idx, attrs = network_frames(spark, net)
+    c = cfg if k is None else MatchConfig(**{**cfg.__dict__, "top_k": k})
+    return candidate_join(points, idx, attrs, c)

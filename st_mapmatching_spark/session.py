@@ -1,0 +1,35 @@
+"""SparkSession factory with the engine's standard knobs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(cores: int | str = "*", app: str = "st_mapmatching_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """local[N] session tuned for this engine.
+
+    On a real cluster the same configs apply minus master; AQE stays on so
+    skewed cell joins re-plan at runtime (north_rule: explicit skew
+    handling), and shuffle partitions default to the core count locally
+    instead of Spark's 200.
+    """
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cores == "*" else int(cores)
+        shuffle_partitions = max(8, n)
+    return (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
