@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    -> flagship map-matching pipeline on /root/testdata/sf0.001
+queries()       -> one entry per implemented operator (SURVEY.md §2)
+oracle_sql()    -> DuckDB-equivalent SQL for every SQL-expressible query
+
+Geospatial queries derive their inputs deterministically from the `events`
+table (see st_mapmatching_spark/sources/derived.py) so the DuckDB oracle
+can reproduce them bit-for-bit; non-SQL-expressible operators (Viterbi
+matching, DP simplify, MinHash/SimHash/LSH, sp table) are rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +15,587 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from st_mapmatching_spark.config import M_PER_DEG, MatchConfig
+from st_mapmatching_spark.sources import derived as D
+
+CFG = MatchConfig(lon0=D.LON0, lat0=D.LAT0)
+
+_NET = None
+
+
+def _net():
+    global _NET
+    if _NET is None:
+        _NET = D.grid_network(CFG)
+    return _NET
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def _render_pages(points: DataFrame) -> DataFrame:
+    """points -> Common-Crawl-style pages with GEO trails in text."""
+    lon = F.lit(D.LON0) + F.col("x") / F.lit(D.MK)
+    lat = F.lit(D.LAT0) + F.col("y") / F.lit(M_PER_DEG)
+    line = F.format_string("GEO %d %.7f %.7f %d", F.col("pid"), lon, lat,
+                           (F.col("t_ms") / 1000).cast("long"))
+    return (points
+            .select("url", F.struct("pid", line.alias("line")).alias("s"))
+            .groupBy("url")
+            .agg(F.sort_array(F.collect_list("s")).alias("ls"))
+            .select("url",
+                    F.to_timestamp(F.lit("2023-11-14 00:00:00")).alias("warc_ts"),
+                    F.encode("url", "utf-8").alias("html"),
+                    F.concat_ws("\n", F.transform("ls", lambda x: x.line)).alias("text"),
+                    F.lit("en").alias("lang")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full text->extract->simplify->candidates->HMM->Viterbi
+    pipeline over pages synthesized from sf0.001 events, matched against
+    the deterministic grid road network."""
+    from st_mapmatching_spark.operators.matching import match_pages
+    points = D.derive_points(spark, "/root/testdata/sf0.001")
+    pages = _render_pages(points)
+    return match_pages(spark, pages, _net(), CFG)
 
+
+# ---------------------------------------------------------------------------
+# query helpers
+# ---------------------------------------------------------------------------
+
+def _pts(spark, sf):
+    return D.derive_points(spark, sf)
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return (spark.read.parquet(f"{sf}/embeddings.parquet")
+            .withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+_CELL_OFF = 1 << 25
+_CELL_SHIFT = 1 << 26
+
+
+def _cell(x, y):
+    ix = F.floor(x / F.lit(D.CELL)).cast("long")
+    iy = F.floor(y / F.lit(D.CELL)).cast("long")
+    return (ix + _CELL_OFF) * _CELL_SHIFT + (iy + _CELL_OFF)
+
+
+def _cell_sql(x, y):
+    return (f"(CAST(floor(({x}) / {D.CELL!r}) AS BIGINT) + {_CELL_OFF}) * {_CELL_SHIFT} "
+            f"+ (CAST(floor(({y}) / {D.CELL!r}) AS BIGINT) + {_CELL_OFF})")
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+def q_geo_points(spark, sf):
+    return (_pts(spark, sf)
+            .select("url", "pid", F.round("x", 6).alias("x_r"), F.round("y", 6).alias("y_r")))
+
+
+def q_geo_cell_assign(spark, sf):
+    p = _pts(spark, sf).withColumn("cell", _cell(F.col("x"), F.col("y")))
+    return p.groupBy("cell").agg(F.count("*").alias("n_points"),
+                                 F.countDistinct("url").alias("n_urls"))
+
+
+def q_geo_cell_cover(spark, sf):
+    p = _pts(spark, sf)
+    r = D.RADIUS
+    c00 = _cell(F.col("x") - r, F.col("y") - r)
+    c01 = _cell(F.col("x") - r, F.col("y") + r)
+    c10 = _cell(F.col("x") + r, F.col("y") - r)
+    c11 = _cell(F.col("x") + r, F.col("y") + r)
+    return (p.select("url", "pid",
+                     F.explode(F.array_distinct(F.array(c00, c01, c10, c11))).alias("cell")))
+
+
+def q_geo_knn_edges(spark, sf):
+    from st_mapmatching_spark.operators.candidates import candidate_join, network_frames
+    idx, attrs = network_frames(spark, _net())
+    p = _pts(spark, sf).select("url", "pid", "x", "y")
+    cands = candidate_join(p, idx, attrs, CFG)
+    w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .select("url", "pid", "eid", F.round("dist_p2c", 6).alias("dist_r"), "rank"))
+
+
+def q_geo_pip_tiles(spark, sf):
+    """Exact ray-cast PIP against rectangular tiles; the oracle uses the
+    equivalent half-open range predicates."""
+    import numpy as np
+    import pandas as pd
+    from st_mapmatching_spark.operators.tiling import assign_tiles
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            bx0, by0 = -1100.0 + tx * 550.0, -1100.0 + ty * 550.0
+            ring = [[bx0, by0], [bx0 + 550.0, by0], [bx0 + 550.0, by0 + 550.0],
+                    [bx0, by0 + 550.0], [bx0, by0]]
+            rows.append((ty * 4 + tx, 0, ring))
+    tiles = pd.DataFrame(rows, columns=["tile_id", "res", "polygon"])
+    p = _pts(spark, sf).select("url", "pid", "x", "y")
+    return assign_tiles(spark, p, tiles, CFG).select("url", "pid", "tile_id")
+
+
+def q_geo_rasterize(spark, sf):
+    from st_mapmatching_spark.operators.tiling import rasterize_points
+    p = _pts(spark, sf)
+    return rasterize_points(p.select("url", "pid", "x", "y"), D.CELL)
+
+
+def q_geo_bbox_filter(spark, sf):
+    p = _pts(spark, sf)
+    inside = (F.col("x") >= -500) & (F.col("x") < 500) & (F.col("y") >= -500) & (F.col("y") < 500)
+    return p.groupBy("url").agg(F.sum(F.when(inside, 1).otherwise(0)).alias("n_inside"),
+                                F.count("*").alias("n_total"))
+
+
+# ---------------------------------------------------------------------------
+# relational queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_rel_topk_orders(spark, sf):
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price_r"), "rn"))
+
+
+def q_rel_agg_pricing(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (l.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_rel_anti_join(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_rel_degree(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    deg = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (c.join(deg, c.c_custkey == deg.o_custkey, "left")
+            .select("c_custkey", F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+
+
+def q_rel_broadcast_dim(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_rel_union_reverse(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    fwd = l.select(F.col("l_partkey").alias("a"), F.col("l_suppkey").alias("b")) \
+           .distinct().withColumn("dir", F.lit(1))
+    rev = fwd.select(F.col("b").alias("a"), F.col("a").alias("b"), (-F.col("dir")).alias("dir"))
+    return fwd.unionByName(rev)
+
+
+def q_rel_weighted_avg(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (l.groupBy("l_suppkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_quantity"))
+                         / F.sum("l_quantity"), 4).alias("w_avg")))
+
+
+def q_rel_geomean(spark, sf):
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (l.groupBy("l_returnflag")
+            .agg(F.round(F.exp(F.avg(F.log(F.lit(1.0) + F.col("l_discount")))), 9).alias("geo_mean")))
+
+
+def q_rel_window_lead(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    return (e.withColumn("gap_ms", F.lead(ms).over(w) - ms)
+            .filter(F.col("gap_ms").isNotNull())
+            .select("user_id", "event_id", "gap_ms"))
+
+
+def q_rel_dup_detect(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("prev_v", F.lag("value").over(w))
+            .filter(F.col("value") == F.col("prev_v"))
+            .select("user_id", "event_id"))
+
+
+def q_rel_multi_edge(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1))
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf):
+    from st_mapmatching_spark.operators.text import text_stats
+    return text_stats(_docs(spark, sf)).select("doc_id", "n_chars", "n_tokens_ws", "n_tokens_re")
+
+
+def q_text_lang_id(spark, sf):
+    from st_mapmatching_spark.operators.text import lang_id
+    out = lang_id(_docs(spark, sf))
+    return out.select("doc_id", F.round("score_en", 6).alias("score_en_r"), "lang_pred")
+
+
+def q_text_fingerprint(spark, sf):
+    from st_mapmatching_spark.operators.text import fingerprint
+    return fingerprint(_docs(spark, sf)).select("doc_id", "fp_md5")
+
+
+def q_dedup_exact(spark, sf):
+    from st_mapmatching_spark.operators.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf))
+
+
+def q_dedup_jaccard(spark, sf):
+    from st_mapmatching_spark.operators.dedup import normalized_text
+    docs = _docs(spark, sf).filter(F.col("doc_id") < 60)
+    toks = docs.select(F.col("doc_id").alias("id"),
+                       F.array_distinct(F.split(normalized_text(), " ")).alias("t"))
+    l, r = toks.alias("l"), toks.alias("r")
+    inter = F.size(F.array_intersect("l.t", "r.t")).cast("double")
+    union = (F.size("l.t") + F.size("r.t") - F.size(F.array_intersect("l.t", "r.t"))).cast("double")
+    return (l.join(r, F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                    F.round(inter / union, 6).alias("jaccard_r"))
+            .filter(F.col("jaccard_r") >= 0.3))
+
+
+def q_sim_cosine_topk(spark, sf):
+    from st_mapmatching_spark.operators.similarity import brute_force_topk
+    emb = _emb(spark, sf)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cos_r"))
+
+
+def q_sim_dot_pairs(spark, sf):
+    from st_mapmatching_spark.operators.similarity import _dot
+    emb = _emb(spark, sf)
+    a = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("a_id"),
+                                                F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("a_id"), F.col("embedding").alias("vb"))
+    return (a.join(b, "a_id")
+            .select("a_id", F.round(_dot(F.col("va"), F.col("vb")), 6).alias("dot_r")))
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) operators
+# ---------------------------------------------------------------------------
+
+def q_match_grid(spark, sf):
+    from st_mapmatching_spark.operators.matching import match_pages
+    pages = _render_pages(_pts(spark, sf))
+    m = match_pages(spark, pages, _net(), CFG)
+    return m.select("url", "status", "epath",
+                    F.round("step_0", 6).alias("step_0_r"),
+                    F.round("norm_prob", 6).alias("norm_prob_r"))
+
+
+def q_geo_simplify(spark, sf):
+    from st_mapmatching_spark.operators.candidates import simplify_trajs
+    p = _pts(spark, sf).select("url", F.col("pid").alias("pid_raw"),
+                               (F.lit(D.LON0) + F.col("x") / F.lit(D.MK)).alias("x"),
+                               (F.lit(D.LAT0) + F.col("y") / F.lit(M_PER_DEG)).alias("y"),
+                               F.col("t_ms").alias("t_epoch"))
+    return simplify_trajs(p, CFG).select("url", "pid", F.round("x", 6).alias("x_r"),
+                                         F.round("y", 6).alias("y_r"))
+
+
+def q_geo_sp_table(spark, sf):
+    from st_mapmatching_spark.operators.shortest_paths import shortest_path_table
+    nodes = spark.range(0, D.G * D.G).select(F.col("id").alias("o_node"))
+    demands = nodes.crossJoin(spark.range(0, 5).select(F.col("id").alias("d_node")))
+    sp = shortest_path_table(spark, demands, _net(), CFG)
+    return sp.select("o_node", "d_node", F.round("cost", 6).alias("cost_r"),
+                     F.size(F.coalesce("epath", F.array())).alias("path_len"))
+
+
+def q_dedup_minhash(spark, sf):
+    from st_mapmatching_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf), jaccard_threshold=0.5) \
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_dedup_simhash(spark, sf):
+    from st_mapmatching_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+
+
+def q_sim_lsh(spark, sf):
+    from st_mapmatching_spark.operators.similarity import lsh_topk
+    emb = _emb(spark, sf)
+    return (lsh_topk(spark, emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5)
+            .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cos_r")))
+
+
+def q_mm_features(spark, sf):
+    from st_mapmatching_spark.operators.multimodal import extract_media_features
+    media = _docs(spark, sf).select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("image").alias("kind"), F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(media) \
+        .select("url", "n_bytes", F.round("byte_mean", 6).alias("mean_r"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # geo / tiling
+        "geo_points": q_geo_points,
+        "geo_cell_assign": q_geo_cell_assign,
+        "geo_cell_cover": q_geo_cell_cover,
+        "geo_knn_edges": q_geo_knn_edges,
+        "geo_pip_tiles": q_geo_pip_tiles,
+        "geo_rasterize": q_geo_rasterize,
+        "geo_bbox_filter": q_geo_bbox_filter,
+        # relational
+        "rel_topk_orders": q_rel_topk_orders,
+        "rel_agg_pricing": q_rel_agg_pricing,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_degree": q_rel_degree,
+        "rel_broadcast_dim": q_rel_broadcast_dim,
+        "rel_union_reverse": q_rel_union_reverse,
+        "rel_weighted_avg": q_rel_weighted_avg,
+        "rel_geomean": q_rel_geomean,
+        "rel_window_lead": q_rel_window_lead,
+        "rel_dup_detect": q_rel_dup_detect,
+        "rel_multi_edge": q_rel_multi_edge,
+        # text / dedup / similarity
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_dot_pairs": q_sim_dot_pairs,
+        # rows-only
+        "match_grid": q_match_grid,
+        "geo_simplify": q_geo_simplify,
+        "geo_sp_table": q_geo_sp_table,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_lsh": q_sim_lsh,
+        "mm_features": q_mm_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_STOP = {
+    "en": "['the','and','of','to','in','is','that','for','with','as']",
+    "de": "['der','die','das','und','ist','von','mit','den','nicht','ein']",
+    "fr": "['le','la','les','et','de','des','un','une','est','que']",
+    "es": "['el','la','los','de','que','y','en','un','una','es']",
+}
+
+
+def _stop_score(lang):
+    return (f"len(list_filter(string_split({_NORM}, ' '), "
+            f"x -> list_contains({_STOP[lang]}, x))) "
+            f"/ greatest(len(string_split({_NORM}, ' ')), 1)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = D.POINTS_CTE.strip()
+    edges = D.EDGES_CTE.strip()
+    cell_xy = _cell_sql("p.x", "p.y")
+
+    lang_case = ("CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'und' "
+                 "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
+                 "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' "
+                 "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' "
+                 "WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' "
+                 "ELSE 'und' END")
+
+    return {
+        "geo_points": f"WITH {pts} SELECT url, pid, round(x, 6) AS x_r, round(y, 6) AS y_r FROM points",
+
+        "geo_cell_assign": f"""WITH {pts}
+            SELECT {cell_xy} AS cell, count(*) AS n_points, count(DISTINCT url) AS n_urls
+            FROM points p GROUP BY 1""",
+
+        "geo_cell_cover": f"""WITH {pts},
+            cov AS (SELECT url, pid, unnest(list_distinct([
+                {_cell_sql(f"p.x - {D.RADIUS!r}", f"p.y - {D.RADIUS!r}")},
+                {_cell_sql(f"p.x - {D.RADIUS!r}", f"p.y + {D.RADIUS!r}")},
+                {_cell_sql(f"p.x + {D.RADIUS!r}", f"p.y - {D.RADIUS!r}")},
+                {_cell_sql(f"p.x + {D.RADIUS!r}", f"p.y + {D.RADIUS!r}")}])) AS cell
+              FROM points p)
+            SELECT url, pid, cell FROM cov""",
+
+        "geo_knn_edges": f"""WITH {pts}, {edges},
+            cand AS (
+              SELECT p.url, p.pid, e.eid, {D.DIST_EXPR} AS dist
+              FROM points p CROSS JOIN edges e),
+            ranked AS (
+              SELECT url, pid, eid, dist,
+                     CAST(row_number() OVER (PARTITION BY url, pid ORDER BY dist, eid) AS INT) AS rank
+              FROM cand WHERE dist <= {D.RADIUS!r})
+            SELECT url, pid, eid, round(dist, 6) AS dist_r, rank
+            FROM ranked WHERE rank <= {D.TOP_K}""",
+
+        "geo_pip_tiles": f"""WITH {pts}
+            SELECT url, pid,
+                   (CAST(floor((y + 1100.0) / 550.0) AS BIGINT) * 4
+                    + CAST(floor((x + 1100.0) / 550.0) AS BIGINT)) AS tile_id
+            FROM points p
+            WHERE x >= -1100.0 AND x < 1100.0 AND y >= -1100.0 AND y < 1100.0""",
+
+        "geo_rasterize": f"""WITH {pts}
+            SELECT {cell_xy} AS cell, count(*) AS n_points FROM points p GROUP BY 1""",
+
+        "geo_bbox_filter": f"""WITH {pts}
+            SELECT url,
+                   sum(CASE WHEN x >= -500 AND x < 500 AND y >= -500 AND y < 500 THEN 1 ELSE 0 END) AS n_inside,
+                   count(*) AS n_total
+            FROM points GROUP BY url""",
+
+        "rel_topk_orders": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price_r,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+            FROM orders QUALIFY rn <= 3""",
+
+        "rel_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+        "rel_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+        "rel_degree": """
+            SELECT c.c_custkey, coalesce(o.n, 0) AS n_orders
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey""",
+
+        "rel_broadcast_dim": """
+            SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+
+        "rel_union_reverse": """
+            WITH fwd AS (SELECT DISTINCT l_partkey AS a, l_suppkey AS b FROM lineitem)
+            SELECT a, b, 1 AS dir FROM fwd
+            UNION ALL SELECT b AS a, a AS b, -1 AS dir FROM fwd""",
+
+        "rel_weighted_avg": """
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount) * l_quantity)
+                         / sum(l_quantity), 4) AS w_avg
+            FROM lineitem GROUP BY l_suppkey""",
+
+        "rel_geomean": """
+            SELECT l_returnflag, round(exp(avg(ln(1.0 + l_discount))), 9) AS geo_mean
+            FROM lineitem GROUP BY l_returnflag""",
+
+        "rel_window_lead": """
+            SELECT user_id, event_id, gap_ms FROM (
+              SELECT user_id, event_id,
+                     lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       - epoch_ms(ts) AS gap_ms
+              FROM events) WHERE gap_ms IS NOT NULL""",
+
+        "rel_dup_detect": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+              FROM events) WHERE value = prev_v""",
+
+        "rel_multi_edge": """
+            SELECT user_id, event_type, count(*) AS n FROM events
+            GROUP BY user_id, event_type HAVING count(*) > 1""",
+
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(string_split({_NORM}, ' ')) AS INT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS n_tokens_re
+            FROM documents""",
+
+        "text_lang_id": f"""
+            SELECT doc_id, round(s_en, 6) AS score_en_r, {lang_case} AS lang_pred FROM (
+              SELECT doc_id,
+                     {_stop_score('en')} AS s_en, {_stop_score('de')} AS s_de,
+                     {_stop_score('fr')} AS s_fr, {_stop_score('es')} AS s_es
+              FROM documents)""",
+
+        "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5({_NORM})""",
+
+        "dedup_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, list_distinct(string_split({_NORM}, ' ')) AS t
+              FROM documents WHERE doc_id < 60)
+            SELECT l.id AS a, r.id AS b,
+                   round(CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
+                         / CAST(len(l.t) + len(r.t) - len(list_intersect(l.t, r.t)) AS DOUBLE), 6) AS jaccard_r
+            FROM toks l JOIN toks r ON l.id < r.id
+            WHERE round(CAST(len(list_intersect(l.t, r.t)) AS DOUBLE)
+                  / CAST(len(l.t) + len(r.t) - len(list_intersect(l.t, r.t)) AS DOUBLE), 6) >= 0.3""",
+
+        "sim_cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, c.vec_id AS c_id,
+                     list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) AS cosine
+              FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.q_id),
+            ranked AS (
+              SELECT q_id, c_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INT) AS rank
+              FROM scored)
+            SELECT q_id, c_id, rank, round(cosine, 6) AS cos_r FROM ranked WHERE rank <= 5""",
+
+        "sim_dot_pairs": """
+            SELECT a.vec_id AS a_id,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS dot_r
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id < 20""",
+    }

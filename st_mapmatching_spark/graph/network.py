@@ -24,13 +24,20 @@ class Network:
     """edges: DataFrame(eid,src,dst,way_id,dir,speed,geom) with geom as a
     list of [lon,lat] pairs; nodes: DataFrame(nid,x,y) in lon/lat."""
 
-    def __init__(self, edges: pd.DataFrame, nodes: pd.DataFrame, cfg: MatchConfig):
+    def __init__(self, edges: pd.DataFrame, nodes: pd.DataFrame, cfg: MatchConfig,
+                 geom_metric: bool = False):
+        """geom_metric=True means `geom` is already in the pinned metric
+        plane (skips the lon/lat roundtrip, which costs ~1e-10 m and can
+        flip exact radius-boundary candidates)."""
         self.cfg = cfg
         self.nodes = nodes.reset_index(drop=True)
         edges = edges.reset_index(drop=True)
 
-        geom_xy = [project_coords(np.asarray(g, dtype=np.float64), cfg.lon0, cfg.lat0)
-                   for g in edges["geom"]]
+        if geom_metric:
+            geom_xy = [np.asarray(g, dtype=np.float64) for g in edges["geom"]]
+        else:
+            geom_xy = [project_coords(np.asarray(g, dtype=np.float64), cfg.lon0, cfg.lat0)
+                       for g in edges["geom"]]
         # metric length recomputed in the pinned projection, mirroring the
         # reference's projected-length recompute (geograph.py:302-310)
         dist = np.array([seq_lengths(g)[1] for g in geom_xy])

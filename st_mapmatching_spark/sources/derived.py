@@ -1,0 +1,161 @@
+"""Deterministic derivations shared bit-for-bit by the Spark engine and the
+DuckDB SQL oracle.
+
+The driver's correctness gate runs each `queries()` entry against an ANSI-SQL
+oracle over the same parquet. Geospatial queries therefore synthesize their
+inputs from the `events` table with pure integer/float arithmetic that both
+engines evaluate identically (same literals, same association order):
+
+* points: one point per event, placed on a deterministic 9x9 metric grid
+  road network with a deterministic along-edge position and +-30 m lateral
+  offset; trajectory key = user_id, order = (ts, event_id).
+* network: the same grid expressed three ways — pandas (for the engine's
+  Network), Spark columns, and a SQL CTE — all from the shared constants.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import M_PER_DEG, MatchConfig
+
+# ---- shared constants (inlined into SQL at full precision) ----------------
+LON0, LAT0 = 114.0, 22.5
+K = math.cos(math.radians(LAT0))          # 0.9238795325112867
+MK = M_PER_DEG * K                        # 102730.71684600176
+G = 9                                     # grid nodes per side
+S = 250.0                                 # grid spacing, meters
+X0 = -1000.0                              # grid origin (metric)
+N_ONEWAY = 2 * G * (G - 1)                # 144 forward edges
+N_EDGES = 2 * N_ONEWAY                    # + reverse twins
+CELL = 64.0                               # cell size used by SQL-checked queries
+RADIUS = 50.0
+TOP_K = 5
+
+# integer mixers for the deterministic placement
+A_EDGE, A_T, A_S = 7919, 104729, 31
+
+
+def sql_grid_edges_pandas() -> pd.DataFrame:
+    """edges(eid, src, dst, way_id, dir, speed, geom METRIC) — 2-vertex
+    straight segments; reverse twins at eid+144. Metric geometry goes to
+    Network(geom_metric=True) so coordinates match the SQL oracle's grid
+    exactly (a lon/lat roundtrip costs ~1e-10 m, enough to flip exact
+    radius-boundary candidates)."""
+    rows = []
+    for eid in range(N_ONEWAY):
+        horiz = eid < G * (G - 1)
+        if horiz:
+            i, j = eid % (G - 1), eid // (G - 1)
+            ax, ay = X0 + i * S, X0 + j * S
+            bx, by = ax + S, ay
+            src, dst = j * G + i, j * G + i + 1
+        else:
+            vb = eid - G * (G - 1)
+            i, j = vb // (G - 1), vb % (G - 1)
+            ax, ay = X0 + i * S, X0 + j * S
+            bx, by = ax, ay + S
+            src, dst = j * G + i, (j + 1) * G + i
+        rows.append((eid, src, dst, eid, 1, 15.0, [[ax, ay], [bx, by]]))
+        rows.append((eid + N_ONEWAY, dst, src, eid, -1, 15.0, [[bx, by], [ax, ay]]))
+    return pd.DataFrame(rows, columns=["eid", "src", "dst", "way_id", "dir", "speed", "geom"])
+
+
+def sql_grid_nodes_pandas() -> pd.DataFrame:
+    rows = [(j * G + i, X0 + i * S, X0 + j * S) for j in range(G) for i in range(G)]
+    return pd.DataFrame(rows, columns=["nid", "x", "y"])
+
+
+def grid_network(cfg: MatchConfig | None = None):
+    from ..graph.network import Network
+    cfg = cfg or MatchConfig(lon0=LON0, lat0=LAT0)
+    return Network(sql_grid_edges_pandas(), sql_grid_nodes_pandas(), cfg,
+                   geom_metric=True)
+
+
+# ---------------------------------------------------------------------------
+# derived points: Spark side
+# ---------------------------------------------------------------------------
+
+def derive_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> points(url, pid, x, y, t_epoch); metric coords on the grid."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    eidx = (e * A_EDGE) % N_EDGES
+    base = eidx % N_ONEWAY
+    horiz = base < G * (G - 1)
+    hi, hj = base % (G - 1), F.floor(base / (G - 1))
+    vb = base - G * (G - 1)
+    vi, vj = F.floor(vb / (G - 1)), vb % (G - 1)
+    x0 = F.when(horiz, X0 + hi * S).otherwise(X0 + vi * S)
+    y0 = F.when(horiz, X0 + hj * S).otherwise(X0 + vj * S)
+    t = ((e * A_T) % 1001) / F.lit(1000.0)
+    s_off = (((e * A_S) % 81) - 40) / F.lit(40.0) * F.lit(30.0)
+    px = F.when(horiz, x0 + F.lit(S) * t).otherwise(x0 + s_off)
+    py = F.when(horiz, y0 + s_off).otherwise(y0 + F.lit(S) * t)
+
+    return ev.select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("url"),
+        (F.row_number().over(w) - 1).cast("int").alias("pid"),
+        px.alias("x"), py.alias("y"),
+        # parquet ts is TIMESTAMP_NTZ; with session TZ pinned to UTC this
+        # equals DuckDB's epoch_ms(ts)
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("t_ms"),
+        e.alias("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# derived points / network: DuckDB SQL side
+# ---------------------------------------------------------------------------
+
+POINTS_CTE = f"""
+points AS (
+  SELECT 'user_' || CAST(user_id AS VARCHAR) AS url,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS pid,
+         CASE WHEN ((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} < {G * (G - 1)}
+              THEN ({X0!r} + (((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY}) % {G - 1} * {S!r})
+                   + {S!r} * (((CAST(event_id AS BIGINT) * {A_T}) % 1001) / 1000.0)
+              ELSE ({X0!r} + ((((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} - {G * (G - 1)}) // {G - 1}) * {S!r})
+                   + ((((CAST(event_id AS BIGINT) * {A_S}) % 81) - 40) / 40.0 * 30.0)
+         END AS x,
+         CASE WHEN ((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} < {G * (G - 1)}
+              THEN ({X0!r} + ((((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY}) // {G - 1}) * {S!r})
+                   + ((((CAST(event_id AS BIGINT) * {A_S}) % 81) - 40) / 40.0 * 30.0)
+              ELSE ({X0!r} + ((((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} - {G * (G - 1)}) % {G - 1}) * {S!r})
+                   + {S!r} * (((CAST(event_id AS BIGINT) * {A_T}) % 1001) / 1000.0)
+         END AS y,
+         epoch_ms(ts) AS t_ms,
+         CAST(event_id AS BIGINT) AS event_id
+  FROM events
+)
+"""
+
+EDGES_CTE = f"""
+grid_fwd AS (
+  SELECT CAST(k AS BIGINT) AS eid,
+         CASE WHEN k < {G * (G - 1)} THEN {X0!r} + (k % {G - 1}) * {S!r}
+              ELSE {X0!r} + ((k - {G * (G - 1)}) // {G - 1}) * {S!r} END AS ax,
+         CASE WHEN k < {G * (G - 1)} THEN {X0!r} + (k // {G - 1}) * {S!r}
+              ELSE {X0!r} + ((k - {G * (G - 1)}) % {G - 1}) * {S!r} END AS ay,
+         (k < {G * (G - 1)}) AS horiz
+  FROM range({N_ONEWAY}) t(k)
+),
+edges AS (
+  SELECT eid, ax, ay, horiz FROM grid_fwd
+  UNION ALL
+  SELECT eid + {N_ONEWAY}, ax, ay, horiz FROM grid_fwd
+)
+"""
+
+# exact point-to-segment distance for axis-aligned 2-vertex edges
+DIST_EXPR = (f"CASE WHEN e.horiz THEN "
+             f"sqrt(pow(p.x - greatest(e.ax, least(p.x, e.ax + {S!r})), 2) + pow(p.y - e.ay, 2)) "
+             f"ELSE sqrt(pow(p.x - e.ax, 2) + pow(p.y - greatest(e.ay, least(p.y, e.ay + {S!r})), 2)) END")
