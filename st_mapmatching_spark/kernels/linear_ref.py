@@ -32,7 +32,7 @@ def pad_polylines(lines) -> tuple[np.ndarray, np.ndarray]:
     return mat, k
 
 
-def project_points_onto_polylines(points: np.ndarray, lines) -> dict:
+def project_points_onto_polylines(points: np.ndarray, lines, cut: bool = True) -> dict:
     """For each (point, polyline) pair compute the closest point on the line.
 
     Args:
@@ -79,16 +79,30 @@ def project_points_onto_polylines(points: np.ndarray, lines) -> dict:
     total = csum[:, -1]
     len1 = total - len0
 
-    seg0, seg1 = [], []
-    for i in range(n):
-        s0, s1 = cut_polyline(seg_idx[i], proj[i], ratio[i], np.asarray(lines[i], dtype=np.float64))
-        seg0.append(s0)
-        seg1.append(s1)
-
-    return {
+    out = {
         "proj": proj, "dist": dist, "len0": len0, "len1": len1,
-        "seg_idx": seg_idx, "ratio": ratio, "seg0": seg0, "seg1": seg1,
+        "seg_idx": seg_idx, "ratio": ratio,
     }
+    if cut:
+        seg0, seg1 = [], []
+        for i in range(n):
+            s0, s1 = cut_polyline(seg_idx[i], proj[i], ratio[i],
+                                  np.asarray(lines[i], dtype=np.float64))
+            seg0.append(s0)
+            seg1.append(s1)
+        out["seg0"] = seg0
+        out["seg1"] = seg1
+    return out
+
+
+def cut_from_indices(coords: np.ndarray, seg_idx: int, ratio: float):
+    """Re-materialize the (seg0, seg1) cut of a polyline from the slim
+    (seg_idx, ratio) the refine stage shuffles — the projected point is
+    recomputed with the exact expression of the batch kernel, so the cut
+    is bitwise identical to the cut=True path."""
+    a = coords[seg_idx]
+    proj = a + (coords[seg_idx + 1] - a) * ratio
+    return cut_polyline(int(seg_idx), proj, float(ratio), coords)
 
 
 def cut_polyline(idx: int, proj: np.ndarray, ratio: float, coords: np.ndarray):

@@ -42,10 +42,12 @@ from ..sources.extract import extract_points
 
 TRAJ_SCHEMA = "url string, pid_raw long, x double, y double, t_epoch long"
 POINTS_SCHEMA = "url string, pid int, x double, y double"
+# Slim refine output: geometry cuts are re-materialized later from the
+# broadcast network via (eid, seg_idx, ratio) — nested coordinate arrays
+# never enter a shuffle.
 REFINE_SCHEMA = ("url string, pid int, x double, y double, eid long, src long, dst long, "
                  "way_id long, dir int, dist double, speed double, dist_p2c double, "
-                 "len0 double, len1 double, proj array<double>, "
-                 "seg0 array<array<double>>, seg1 array<array<double>>")
+                 "len0 double, len1 double, seg_idx int, ratio double")
 
 
 def extract_trajs(pages: DataFrame) -> DataFrame:
@@ -119,8 +121,7 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
 
     idx = F.broadcast(cell_index) if broadcast_index else cell_index
     pairs = (covered.join(idx, "cell")
-             .select("url", "pid", "x", "y", "eid")
-             .dropDuplicates(["url", "pid", "eid"]))
+             .select("url", "pid", "x", "y", "eid"))
 
     cands = pairs.join(F.broadcast(edge_attrs), "eid")
 
@@ -130,18 +131,26 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                 continue
             res = project_points_onto_polylines(
                 pdf[["x", "y"]].to_numpy(),
-                [np.vstack(g).astype(np.float64) for g in pdf["geom_xy"]])
+                [np.vstack(g).astype(np.float64) for g in pdf["geom_xy"]],
+                cut=False)
             out = pdf.drop(columns=["geom_xy"]).copy()
             out["dist_p2c"] = res["dist"]
             out["len0"] = res["len0"]
             out["len1"] = res["len1"]
-            out["proj"] = [p.tolist() for p in res["proj"]]
-            out["seg0"] = [None if s is None else s.tolist() for s in res["seg0"]]
-            out["seg1"] = [None if s is None else s.tolist() for s in res["seg1"]]
+            out["seg_idx"] = res["seg_idx"].astype(np.int32)
+            out["ratio"] = res["ratio"]
             yield out
 
-    refined = cands.mapInPandas(refine, schema=REFINE_SCHEMA)
-    refined = refined.filter(F.col("dist_p2c") <= r)
+    refined = (cands.mapInPandas(refine, schema=REFINE_SCHEMA)
+               .filter(F.col("dist_p2c") <= r)
+               # One deliberate shuffle on url: url-hash partitioning is a
+               # subset of every downstream clustering key — (url,pid,eid)
+               # dedupe, (url,pid) top-k window, (url) emission window, the
+               # (url,pid_*) pair self-joins — so Catalyst elides all their
+               # exchanges. A (url,pid,eid) pair can arrive via multiple
+               # cover cells; the refine is deterministic, so dedupe after.
+               .repartition("url")
+               .dropDuplicates(["url", "pid", "eid"]))
 
     w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
     topk = (refined.withColumn("rn", F.row_number().over(w))

@@ -38,17 +38,20 @@ SCORED_COLS = ["url", "pid_0", "pid_1", "eid_0", "eid_1", "flag", "observ_prob",
 
 def build_pairs_df(cands: DataFrame, points: DataFrame, cfg: MatchConfig) -> DataFrame:
     """Consecutive-layer Cartesian product + flag identification + straight
-    -line params, all relational."""
+    -line params, all relational. Geometry stays out of the row: the step
+    cuts are carried as (eid, seg_idx, ratio) and re-materialized from the
+    broadcast network inside the scoring Arrow pass."""
     left = cands.select(
         "url", F.col("pid").alias("pid_0"), F.col("eid").alias("eid_0"),
         F.col("dist").alias("dist_0"), F.col("speed").alias("speed_0"),
-        "dst", F.col("seg1").alias("step_0"), F.col("len1").alias("step_0_len"),
-        F.col("seg0").alias("left_seg0"), F.col("len0").alias("left_len0"))
+        "dst", F.col("len1").alias("step_0_len"), F.col("len0").alias("left_len0"),
+        F.col("seg_idx").alias("seg_idx_0"), F.col("ratio").alias("ratio_0"))
 
     right = cands.select(
         "url", F.col("pid").alias("pid_1"), F.col("eid").alias("eid_1"),
         F.col("dist").alias("dist_1"), F.col("speed").alias("speed_1"),
-        "src", F.col("seg0").alias("step_n"), F.col("len0").alias("step_n_len"),
+        "src", F.col("len0").alias("step_n_len"),
+        F.col("seg_idx").alias("seg_idx_1"), F.col("ratio").alias("ratio_1"),
         "observ_prob")
 
     # consecutive candidate layers (pids that HAVE candidates), with the
@@ -76,24 +79,29 @@ def build_pairs_df(cands: DataFrame, points: DataFrame, cfg: MatchConfig) -> Dat
     approx = cond & (~cond_1)
     same = F.col("eid_0") == F.col("eid_1")
 
-    gt = (gt.withColumn("_approx", approx)
+    gt = (gt.withColumn("approx", approx)
             .withColumn("flag", F.when(same & cond, hmm.FLAG_SAME_SRC_FIRST)
                                  .when(same & (~cond), hmm.FLAG_SAME_SRC_LAST)
                                  .otherwise(hmm.FLAG_NORMAL).cast("int"))
-            .withColumn("step_n", F.when(F.col("_approx"), F.col("left_seg0")).otherwise(F.col("step_n")))
-            .withColumn("step_n_len", F.when(F.col("_approx"), F.col("left_len0")).otherwise(F.col("step_n_len")))
+            .withColumn("step_n_len", F.when(F.col("approx"), F.col("left_len0")).otherwise(F.col("step_n_len")))
             .withColumn("o_node", F.when(F.col("flag") == hmm.FLAG_SAME_SRC_FIRST, F.col("src")).otherwise(F.col("dst")))
             .withColumn("d_node", F.when(F.col("flag") == hmm.FLAG_SAME_SRC_FIRST, F.col("dst")).otherwise(F.col("src")))
-            .drop("_approx", "left_seg0", "left_len0"))
+            .drop("left_len0"))
     return gt
 
 
 def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
-                   net: Network, cfg: MatchConfig) -> DataFrame:
+                   net: Network, cfg: MatchConfig, broadcast_sp: bool = True) -> DataFrame:
     """Attach shortest paths (equi-join on the precomputed table — the
     distributed version of the reference's search memo) and compute the
-    transition probabilities with the shared kernel in one Arrow pass."""
-    joined = (pairs.join(sp, ["o_node", "d_node"], "left")
+    transition probabilities with the shared kernel in one Arrow pass.
+
+    broadcast_sp=True keeps the pair table's url partitioning intact (the
+    demand-driven sp table is bounded by the trajectory corridor, so it is
+    broadcastable for city/regional networks); set False at planet scale
+    to shuffle on (o_node, d_node) instead."""
+    sp_side = F.broadcast(sp) if broadcast_sp else sp
+    joined = (pairs.join(sp_side, ["o_node", "d_node"], "left")
               .withColumn("cost", F.coalesce(F.col("cost"), F.lit(float("inf"))))
               .withColumn("path_speed", F.coalesce(F.col("path_speed"), F.lit(0.0))))
 
@@ -105,10 +113,26 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
               "d_sht double, avg_speed double, epath array<long>")
 
     def op(batches):
+        from ..kernels.linear_ref import cut_from_indices
         edge_coords = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # re-materialize the step geometries from the broadcast network
+            # (bitwise-identical to the cut=True kernel path)
+            step_0, step_n = [], []
+            for e0, i0, r0, e1, i1, r1, ap in zip(
+                    pdf.eid_0, pdf.seg_idx_0, pdf.ratio_0,
+                    pdf.eid_1, pdf.seg_idx_1, pdf.ratio_1, pdf.approx):
+                s0_head, s0_tail = cut_from_indices(edge_coords[int(e0)], int(i0), float(r0))
+                step_0.append(s0_tail)
+                if ap:
+                    step_n.append(s0_head)
+                else:
+                    step_n.append(cut_from_indices(edge_coords[int(e1)], int(i1), float(r1))[0])
+            pdf = pdf.copy()
+            pdf["step_0"] = step_0
+            pdf["step_n"] = step_n
             scored = hmm.finalize_scores(pdf, edge_coords, dir_trans, cfg)
             out = scored[SCORED_COLS].copy()
             out["epath"] = [None if e is None or (isinstance(e, float) and np.isnan(e))
