@@ -79,31 +79,44 @@ def _epath(prev: dict, node: int) -> list[int]:
 
 def shortest_paths_to_targets(adj: dict, origin: int, targets, max_dist: float,
                               edge_speed: dict | None = None,
-                              edge_dist: dict | None = None) -> list[dict]:
+                              edge_dist: dict | None = None,
+                              edge_dir_totals: dict | None = None) -> list[dict]:
     """Shortest paths from one origin to many targets (the demand-driven
     sp-table row generator). Each row mirrors the reference search result
     (/root/reference/mapmatching/graph/geograph.py:50-70):
     cost, epath (list[int] | None), path_speed (dist-weighted mean edge
-    speed along the path; 0.0 when the path is empty/degenerate)."""
+    speed along the path; 0.0 when the path is empty/degenerate).
+
+    With ``edge_dir_totals`` (eid -> (cx, cy, w, n), see kernels.dir_stats)
+    each row also carries the path's additive direction statistics so the
+    scoring stage stays fully vectorized."""
     targets = [int(t) for t in targets]
     cost, prev, settled = bounded_dijkstra(adj, int(origin), max_dist, set(targets))
     rows = []
     for t in targets:
+        row = {"o_node": origin, "d_node": t, "cost": math.inf,
+               "epath": None, "path_speed": 0.0,
+               "pcx": 0.0, "pcy": 0.0, "pw": 0.0, "pn": 0}
         if t == origin:
-            rows.append({"o_node": origin, "d_node": t, "cost": 0.0,
-                         "epath": None, "path_speed": 0.0})
+            row["cost"] = 0.0
+            rows.append(row)
             continue
         if t not in settled or t not in cost:
-            rows.append({"o_node": origin, "d_node": t, "cost": math.inf,
-                         "epath": None, "path_speed": 0.0})
+            rows.append(row)
             continue
         ep = _epath(prev, t)
+        row["cost"] = float(cost[t])
+        row["epath"] = ep if ep else None
         if edge_speed is not None and ep:
             w = np.array([edge_dist[e] for e in ep], dtype=np.float64)
             s = np.array([edge_speed[e] for e in ep], dtype=np.float64)
-            ps = float(np.average(s, weights=w)) if w.sum() > 0 else 0.0
-        else:
-            ps = 0.0
-        rows.append({"o_node": origin, "d_node": t, "cost": float(cost[t]),
-                     "epath": ep if ep else None, "path_speed": ps})
+            row["path_speed"] = float(np.average(s, weights=w)) if w.sum() > 0 else 0.0
+        if edge_dir_totals is not None and ep:
+            cx = cy = w_ = 0.0
+            n = 0
+            for e in ep:
+                tcx, tcy, tw, tn = edge_dir_totals[e]
+                cx += tcx; cy += tcy; w_ += tw; n += tn
+            row.update(pcx=cx, pcy=cy, pw=w_, pn=n)
+        rows.append(row)
     return rows

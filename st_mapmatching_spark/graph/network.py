@@ -55,6 +55,14 @@ class Network:
         ys = np.concatenate([g[:, 1] for g in geom_xy])
         self.bbox_xy = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
 
+    def dir_stats(self):
+        """Lazily-built per-edge direction sufficient stats
+        (kernels.dir_stats.EdgeDirStats)."""
+        if not hasattr(self, "_dir_stats"):
+            from ..kernels.dir_stats import EdgeDirStats
+            self._dir_stats = EdgeDirStats(self.edge_coords)
+        return self._dir_stats
+
     # -- derived relational structures ------------------------------------
     def cell_index(self) -> pd.DataFrame:
         """(cell, eid) inverted index: every grid cell an edge's geometry

@@ -1,0 +1,163 @@
+"""Sufficient-statistics form of the direction probability.
+
+The dir_prob kernel (azimuth.py:175-208 in the reference, reimplemented in
+kernels.geodesy.polyline_bearing_cos_dist) is a length-weighted mean of
+per-segment normalized cos-similarities against a heading m:
+
+    sim_i = (cos(b_i - m) + 1) / 2
+    dir   = sum(w_i * sim_i) / sum(w_i)
+          = ((cos m * CX + sin m * CY) / 2 + W / 2) / W
+
+with CX = sum(w_i cos b_i), CY = sum(w_i sin b_i), W = sum(w_i) — heading-
+independent statistics that are ADDITIVE over geometry parts (step_0 |
+shortest path | step_n). Per-edge prefix sums of these stats let the
+engine score millions of transition pairs with pure numpy gathers instead
+of per-row polyline stitching. The oracle keeps the literal concatenation
+path; the parity suite pins both to within 1e-9.
+
+Part-concatenation bookkeeping: joints between consecutive present parts
+are zero-length segments (shared vertex) contributing only to the segment
+count n (they matter for the reference's unweighted fallback when the
+total length is zero). The one *real* joint is step_0->step_n when the
+shortest path is absent (same-node or unreachable transitions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geodesy import bearing_deg
+
+
+class EdgeDirStats:
+    """Flat per-segment stat arrays over all edges, gatherable by
+    (eid, seg_idx) without Python loops."""
+
+    def __init__(self, edge_coords: dict):
+        eids = np.array(sorted(edge_coords), dtype=np.int64)
+        self.eid_index = {int(e): i for i, e in enumerate(eids)}
+        n_edges = len(eids)
+
+        seg_counts = np.empty(n_edges, dtype=np.int64)
+        L, cb, sb = [], [], []
+        fv = np.empty((n_edges, 2))
+        lv = np.empty((n_edges, 2))
+        for i, e in enumerate(eids):
+            c = np.asarray(edge_coords[int(e)], dtype=np.float64)
+            d = c[1:] - c[:-1]
+            ln = np.hypot(d[:, 0], d[:, 1])
+            b = np.radians(bearing_deg(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]))
+            b = np.atleast_1d(b)
+            seg_counts[i] = len(ln)
+            L.append(ln)
+            cb.append(np.cos(b))
+            sb.append(np.sin(b))
+            fv[i] = c[0]
+            lv[i] = c[-1]
+
+        self.nseg = seg_counts
+        self.first_v = fv
+        self.last_v = lv
+        self.L = np.concatenate(L)
+        self.cosb = np.concatenate(cb)
+        self.sinb = np.concatenate(sb)
+        # per-edge offsets into the flat seg arrays and into prefix arrays
+        self.off = np.concatenate([[0], np.cumsum(seg_counts)])[:-1]
+        # prefix sums with a leading 0 per edge: P[e][i] = stats of segs < i
+        pw, pcx, pcy = [], [], []
+        for i in range(n_edges):
+            s, e_ = self.off[i], self.off[i] + seg_counts[i]
+            w = self.L[s:e_]
+            pw.append(np.concatenate([[0.0], np.cumsum(w)]))
+            pcx.append(np.concatenate([[0.0], np.cumsum(w * self.cosb[s:e_])]))
+            pcy.append(np.concatenate([[0.0], np.cumsum(w * self.sinb[s:e_])]))
+        self.p_off = np.concatenate([[0], np.cumsum(seg_counts + 1)])[:-1]
+        self.pw = np.concatenate(pw)
+        self.pcx = np.concatenate(pcx)
+        self.pcy = np.concatenate(pcy)
+
+    # ------------------------------------------------------------------
+    def edge_totals(self) -> dict:
+        """eid -> (tcx, tcy, tw, n) for path-stat accumulation in the
+        shortest-path job."""
+        out = {}
+        for e, i in self.eid_index.items():
+            p = self.p_off[i] + self.nseg[i]
+            out[e] = (float(self.pcx[p]), float(self.pcy[p]), float(self.pw[p]),
+                      int(self.nseg[i]))
+        return out
+
+    def _dense(self, eid: np.ndarray) -> np.ndarray:
+        return np.array([self.eid_index[int(e)] for e in eid], dtype=np.int64)
+
+    def head_cut_stats(self, eid, seg_idx, ratio):
+        """Stats of the polyline head cut seg0 (start -> projection), with
+        cut_polyline's boundary conventions. Returns (cx, cy, w, n, present)."""
+        di = self._dense(np.asarray(eid))
+        idx = np.asarray(seg_idx, dtype=np.int64)
+        r = np.asarray(ratio, dtype=np.float64)
+        nseg = self.nseg[di]
+        last = nseg - 1
+
+        none0 = (idx == 0) & (r == 0.0)
+        full = (idx == last) & (r == 1.0)
+
+        # prefix index: r==0 -> idx; r==1 -> idx+1; else idx (+ partial)
+        pi = np.where(r == 1.0, idx + 1, idx)
+        pi = np.where(full, nseg, pi)
+        p = self.p_off[di] + pi
+        cx, cy, w = self.pcx[p].copy(), self.pcy[p].copy(), self.pw[p].copy()
+        n = np.where(r == 0.0, idx, idx + 1)
+        n = np.where(full, nseg, n)
+
+        partial = (r > 0.0) & (r < 1.0)
+        s = self.off[di] + np.minimum(idx, nseg - 1)
+        add = np.where(partial, r * self.L[s], 0.0)
+        cx += add * self.cosb[s]
+        cy += add * self.sinb[s]
+        w += add
+        return cx, cy, w, n.astype(np.int64), ~none0
+
+    def tail_cut_stats(self, eid, seg_idx, ratio):
+        """Stats of the tail cut seg1 (projection -> end)."""
+        di = self._dense(np.asarray(eid))
+        idx = np.asarray(seg_idx, dtype=np.int64)
+        r = np.asarray(ratio, dtype=np.float64)
+        nseg = self.nseg[di]
+        last = nseg - 1
+
+        none1 = (idx == last) & (r == 1.0)
+        # totals
+        pt = self.p_off[di] + nseg
+        tcx, tcy, tw = self.pcx[pt], self.pcy[pt], self.pw[pt]
+        # subtract prefix: r==0 -> P[idx]; else P[idx+1] (+ partial back)
+        pi = np.where(r == 0.0, idx, idx + 1)
+        p = self.p_off[di] + pi
+        cx = tcx - self.pcx[p]
+        cy = tcy - self.pcy[p]
+        w = tw - self.pw[p]
+        n = np.where(r == 0.0, nseg - idx,
+                     np.where(r == 1.0, nseg - idx - 1, nseg - idx))
+
+        partial = (r > 0.0) & (r < 1.0)
+        s = self.off[di] + np.minimum(idx, nseg - 1)
+        add = np.where(partial, (1.0 - r) * self.L[s], 0.0)
+        cx = cx + add * self.cosb[s]
+        cy = cy + add * self.sinb[s]
+        w = w + add
+        return cx, cy, w, n.astype(np.int64), ~none1
+
+    def vertex(self, eid, first: bool) -> np.ndarray:
+        di = self._dense(np.asarray(eid))
+        return (self.first_v if first else self.last_v)[di]
+
+
+def dir_prob_from_stats(move_dir_deg: np.ndarray, cx, cy, w, n, present) -> np.ndarray:
+    """Closed-form dir_prob; nan when no geometry, unweighted fallback
+    (all-zero-length segments all have bearing 0) when total length is 0."""
+    m = np.radians(np.asarray(move_dir_deg, dtype=np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = ((np.cos(m) * cx + np.sin(m) * cy) / 2.0 + w / 2.0) / np.where(w == 0, 1.0, w)
+    fallback = (np.cos(m) + 1.0) / 2.0
+    val = np.where((w == 0) & (n > 0), fallback, val)
+    return np.where(present & (n > 0), val, np.nan)

@@ -167,14 +167,13 @@ def path_coords_from_epath(epath, edge_coords: dict) -> np.ndarray | None:
     return np.concatenate(parts)
 
 
-def finalize_scores(gt: pd.DataFrame, edge_coords: dict, dir_trans: bool,
-                    cfg: MatchConfig = MatchConfig()) -> pd.DataFrame:
-    """Compute avg_speed, d_sht, dist_prob, dir_prob, trans_prob given the
-    shortest-path attach columns ``cost`` (inf if unreachable, 0 if
-    o_node==d_node), ``epath`` (list|None) and ``path_speed``
-    (spatialAnalysis.py:10-121 + dir_similarity.py:6-15)."""
+def score_base(gt: pd.DataFrame, cfg: MatchConfig = MatchConfig()) -> pd.DataFrame:
+    """avg_speed, d_sht, dist_prob (everything except the direction term)
+    given the shortest-path attach columns ``cost`` (inf if unreachable, 0
+    if o_node==d_node), ``epath`` (list|None) and ``path_speed``
+    (spatialAnalysis.py:10-121)."""
     if gt.empty:
-        for c in ("avg_speed", "d_sht", "dist_prob", "dir_prob", "trans_prob"):
+        for c in ("avg_speed", "d_sht", "dist_prob"):
             gt[c] = np.array([], dtype=np.float64)
         return gt
 
@@ -209,11 +208,21 @@ def finalize_scores(gt: pd.DataFrame, edge_coords: dict, dir_trans: bool,
         r = np.where(d_sht == 0, np.where(d_euc == 0, np.nan, 0.0), r)
         r = np.where(np.isinf(d_sht), 0.0, r)
     gt["dist_prob"] = r
+    return gt
 
-    if not dir_trans:
-        gt["dir_prob"] = np.nan
-        gt["trans_prob"] = gt.dist_prob
+
+def finalize_scores(gt: pd.DataFrame, edge_coords: dict, dir_trans: bool,
+                    cfg: MatchConfig = MatchConfig()) -> pd.DataFrame:
+    """Full scoring incl. dir_prob by literal geometry concatenation
+    (dir_similarity.py:6-15) — the oracle path. The engine computes the
+    same dir_prob from additive sufficient stats (kernels.dir_stats);
+    the parity suite pins both to 1e-9."""
+    gt = score_base(gt, cfg)
+    if gt.empty or not dir_trans:
+        gt["dir_prob"] = np.nan if not len(gt) else np.full(len(gt), np.nan)
+        gt["trans_prob"] = gt.dist_prob if len(gt) else np.array([], dtype=np.float64)
         return gt
+    flag1 = gt.flag.to_numpy() == FLAG_SAME_SRC_FIRST
 
     # direction prob over the stitched step geometry
     dir_prob = np.empty(len(gt), dtype=np.float64)
@@ -285,29 +294,43 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
     prev_path = {0: {st: None for st in start}}
     prev_states = set(start)
 
-    by_layer = dict(tuple(gt.groupby("pid_0"))) if len(gt) else {}
+    # one numpy materialization, sliced per layer (pandas per-layer ops are
+    # the profile hotspot at millions of trajectories)
+    if len(gt):
+        order = np.argsort(gt.pid_0.to_numpy(), kind="stable")
+        g_pid0 = gt.pid_0.to_numpy()[order]
+        g_e0 = gt.eid_0.to_numpy()[order]
+        g_e1 = gt.eid_1.to_numpy()[order]
+        g_tp = (gt.trans_prob.to_numpy(dtype=np.float64)
+                * gt.observ_prob.to_numpy(dtype=np.float64))[order]
+    else:
+        g_pid0 = np.array([], dtype=np.int64)
+        g_e0 = g_e1 = g_pid0
+        g_tp = np.array([], dtype=np.float64)
 
     for idx, lvl in enumerate(layer_ids[:-1]):
-        layer = by_layer.get(int(lvl))
-        if layer is None:
+        lo = np.searchsorted(g_pid0, lvl, side="left")
+        hi = np.searchsorted(g_pid0, lvl, side="right")
+        if lo == hi:
             f_score.append({})
             prev_states = set()
             continue
-        e0 = layer.eid_0.to_numpy()
-        sel_mask = np.isin(e0, list(prev_states)) if prev_states else np.zeros(len(e0), dtype=bool)
+        e0 = g_e0[lo:hi]
+        fprev = f_score[-1]
+        prev = np.array([fprev.get(int(e), np.nan) for e in e0], dtype=np.float64)
+        sel_mask = ~np.isnan(prev) if prev_states else np.zeros(hi - lo, dtype=bool)
         if not sel_mask.any():
             # HMM break: restart with prev prob = 1 over the full layer
             # (viterbi.py:122-126)
-            sel = layer
-            prev = np.ones(len(sel), dtype=np.float64)
+            sel = slice(None)
+            prev = np.ones(hi - lo, dtype=np.float64)
         else:
-            sel = layer[sel_mask]
-            prev = np.array([f_score[-1][int(e)] for e in sel.eid_0], dtype=np.float64)
+            sel = sel_mask
+            prev = prev[sel_mask]
 
-        prob = prev * (sel.trans_prob.to_numpy(dtype=np.float64)
-                       * sel.observ_prob.to_numpy(dtype=np.float64))
+        prob = prev * g_tp[lo:hi][sel]
         win_e1, win_e0, win_p = _prune(
-            sel.pid_0.to_numpy(), sel.eid_0.to_numpy(), sel.eid_1.to_numpy(),
+            g_pid0[lo:hi][sel], g_e0[lo:hi][sel], g_e1[lo:hi][sel],
             prob, idx, f_score[-1], cfg)
 
         prev_path[idx + 1] = {e1: (idx, e0) for e1, e0 in zip(win_e1, win_e0)}

@@ -103,9 +103,13 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
     sp_side = F.broadcast(sp) if broadcast_sp else sp
     joined = (pairs.join(sp_side, ["o_node", "d_node"], "left")
               .withColumn("cost", F.coalesce(F.col("cost"), F.lit(float("inf"))))
-              .withColumn("path_speed", F.coalesce(F.col("path_speed"), F.lit(0.0))))
+              .withColumn("path_speed", F.coalesce(F.col("path_speed"), F.lit(0.0)))
+              .withColumn("pcx", F.coalesce(F.col("pcx"), F.lit(0.0)))
+              .withColumn("pcy", F.coalesce(F.col("pcy"), F.lit(0.0)))
+              .withColumn("pw", F.coalesce(F.col("pw"), F.lit(0.0)))
+              .withColumn("pn", F.coalesce(F.col("pn"), F.lit(0))))
 
-    bc = spark.sparkContext.broadcast(net.edge_coords)
+    bc = spark.sparkContext.broadcast(net.dir_stats())
     dir_trans = cfg.dir_trans
 
     schema = ("url string, pid_0 int, pid_1 int, eid_0 long, eid_1 long, flag int, "
@@ -113,27 +117,70 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
               "d_sht double, avg_speed double, epath array<long>")
 
     def op(batches):
-        from ..kernels.linear_ref import cut_from_indices
-        edge_coords = bc.value
+        from ..kernels.dir_stats import dir_prob_from_stats
+        from ..kernels.geodesy import bearing_deg
+        stats = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # re-materialize the step geometries from the broadcast network
-            # (bitwise-identical to the cut=True kernel path)
-            step_0, step_n = [], []
-            for e0, i0, r0, e1, i1, r1, ap in zip(
-                    pdf.eid_0, pdf.seg_idx_0, pdf.ratio_0,
-                    pdf.eid_1, pdf.seg_idx_1, pdf.ratio_1, pdf.approx):
-                s0_head, s0_tail = cut_from_indices(edge_coords[int(e0)], int(i0), float(r0))
-                step_0.append(s0_tail)
-                if ap:
-                    step_n.append(s0_head)
-                else:
-                    step_n.append(cut_from_indices(edge_coords[int(e1)], int(i1), float(r1))[0])
-            pdf = pdf.copy()
-            pdf["step_0"] = step_0
-            pdf["step_n"] = step_n
-            scored = hmm.finalize_scores(pdf, edge_coords, dir_trans, cfg)
+            scored = hmm.score_base(pdf.copy(), cfg)
+            if not dir_trans:
+                scored["dir_prob"] = np.nan
+                scored["trans_prob"] = scored.dist_prob
+            else:
+                e0 = scored.eid_0.to_numpy()
+                i0 = scored.seg_idx_0.to_numpy()
+                r0 = scored.ratio_0.to_numpy()
+                ap = scored.approx.to_numpy()
+                # the step_n source edge/cut: cand_0's own head cut after
+                # the approx-point reset, else cand_1's head cut
+                en = np.where(ap, e0, scored.eid_1.to_numpy())
+                i_n = np.where(ap, i0, scored.seg_idx_1.to_numpy())
+                rn = np.where(ap, r0, scored.ratio_1.to_numpy())
+
+                cx0, cy0, w0, n0, p0 = stats.tail_cut_stats(e0, i0, r0)
+                cxn, cyn, wn, nn, pn_ = stats.head_cut_stats(en, i_n, rn)
+                # path stats come pre-joined from the sp table; flag-1 rows
+                # drop the path entirely (score_base already nulled epath)
+                has_path = np.array([e is not None and len(e) > 0
+                                     for e in scored.epath], dtype=bool)
+                pcx = scored.pcx.to_numpy(); pcy = scored.pcy.to_numpy()
+                pw = scored.pw.to_numpy(); pn_path = scored.pn.to_numpy()
+
+                # real joint segment step_0 -> step_n when the path is absent
+                jfrom = stats.vertex(e0, first=False)
+                jto = stats.vertex(en, first=True)
+                jdx = jto[:, 0] - jfrom[:, 0]
+                jdy = jto[:, 1] - jfrom[:, 1]
+                jlen = np.hypot(jdx, jdy)
+                jb = np.radians(bearing_deg(jfrom[:, 0], jfrom[:, 1], jto[:, 0], jto[:, 1]))
+                flag1 = scored.flag.to_numpy() == hmm.FLAG_SAME_SRC_FIRST
+                jreal = p0 & pn_ & (~has_path) & (~flag1)
+
+                parts = (p0.astype(np.int64) + pn_.astype(np.int64)
+                         + has_path.astype(np.int64))
+                n_joints = np.maximum(parts - 1, 0)
+                cx = (np.where(p0, cx0, 0.0) + np.where(has_path, pcx, 0.0)
+                      + np.where(pn_, cxn, 0.0) + np.where(jreal, jlen * np.cos(jb), 0.0))
+                cy = (np.where(p0, cy0, 0.0) + np.where(has_path, pcy, 0.0)
+                      + np.where(pn_, cyn, 0.0) + np.where(jreal, jlen * np.sin(jb), 0.0))
+                w = (np.where(p0, w0, 0.0) + np.where(has_path, pw, 0.0)
+                     + np.where(pn_, wn, 0.0) + np.where(jreal, jlen, 0.0))
+                n = (np.where(p0, n0, 0) + np.where(has_path, pn_path, 0)
+                     + np.where(pn_, nn, 0) + n_joints)
+
+                # flag-1: geometry is step_n alone (and only when step_0
+                # exists) — the reference's get_shared_line behavior
+                cx = np.where(flag1, cxn, cx)
+                cy = np.where(flag1, cyn, cy)
+                w = np.where(flag1, wn, w)
+                n = np.where(flag1, nn, n)
+                present = np.where(flag1, p0 & pn_, parts > 0)
+
+                scored["dir_prob"] = dir_prob_from_stats(
+                    scored.move_dir.to_numpy(dtype=np.float64), cx, cy, w, n, present)
+                scored["trans_prob"] = scored.dist_prob * scored.dir_prob
+
             out = scored[SCORED_COLS].copy()
             out["epath"] = [None if e is None or (isinstance(e, float) and np.isnan(e))
                             else list(e) for e in out["epath"]]

@@ -24,26 +24,31 @@ from ..config import MatchConfig
 from ..graph.dijkstra import shortest_paths_to_targets
 from ..graph.network import Network
 
-SP_SCHEMA = "o_node long, d_node long, cost double, epath array<long>, path_speed double"
+SP_SCHEMA = ("o_node long, d_node long, cost double, epath array<long>, "
+             "path_speed double, pcx double, pcy double, pw double, pn int")
+_SP_COLS = ["o_node", "d_node", "cost", "epath", "path_speed", "pcx", "pcy", "pw", "pn"]
 
 
 def shortest_path_table(spark: SparkSession, demands: DataFrame, net: Network,
                         cfg: MatchConfig) -> DataFrame:
-    """demands(o_node, d_node) -> sp(o_node, d_node, cost, epath, path_speed).
+    """demands(o_node, d_node) -> sp(o_node, d_node, cost, epath,
+    path_speed, pcx, pcy, pw, pn).
 
     Missing/unreachable pairs get cost=inf (HMM break semantics, matching
     the reference's status-2 search, astar.py:111-114); o==d pairs get
-    cost=0 with an empty path (astar.py:67-68)."""
+    cost=0 with an empty path (astar.py:67-68). pcx/pcy/pw/pn are the
+    path's additive direction statistics (kernels.dir_stats)."""
     sc = spark.sparkContext
-    bc = sc.broadcast((net.adj, net.edge_speed, net.edge_dist))
+    bc = sc.broadcast((net.adj, net.edge_speed, net.edge_dist,
+                       net.dir_stats().edge_totals()))
     max_dist = cfg.max_dist
 
     def per_origin(pdf: pd.DataFrame) -> pd.DataFrame:
-        adj, espeed, edist = bc.value
+        adj, espeed, edist, etot = bc.value
         o = int(pdf.o_node.iloc[0])
         rows = shortest_paths_to_targets(adj, o, pdf.d_node.unique().tolist(),
-                                         max_dist, espeed, edist)
-        return pd.DataFrame(rows, columns=["o_node", "d_node", "cost", "epath", "path_speed"])
+                                         max_dist, espeed, edist, etot)
+        return pd.DataFrame(rows, columns=_SP_COLS)
 
     return (demands.dropDuplicates(["o_node", "d_node"])
             .groupBy("o_node").applyInPandas(per_origin, schema=SP_SCHEMA))
