@@ -63,39 +63,84 @@ def run_once(sf_dir: str, cpus: str) -> dict:
     return out
 
 
+def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
+    """Time the two north-rule throughput jobs — map matching and tile
+    assignment — on a materialized, replicated input (compute-bound so the
+    parallelism comparison measures the engine, not fixed JVM overheads)."""
+    import __spark_entry__ as entry
+    from st_mapmatching_spark.operators.matching import match_pages
+    from st_mapmatching_spark.operators.tiling import assign_tiles
+    from st_mapmatching_spark.session import get_spark
+    from st_mapmatching_spark.sources import derived as D
+    import pandas as pd
+
+    spark = get_spark(cores=cpus, app=f"bench-scaling-{cpus}")
+    points = D.replicate_points(D.derive_points(spark, sf_dir), mult)
+    pages = entry._render_pages(points).persist()
+    n_trajs = pages.count()                         # materialize input
+
+    t0 = time.perf_counter()
+    match_pages(spark, pages, entry._net(), entry.CFG).count()
+    t_match = time.perf_counter() - t0
+
+    pts = points.select("url", "pid", "x", "y").persist()
+    n_pts = pts.count()
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            bx0, by0 = -1100.0 + tx * 550.0, -1100.0 + ty * 550.0
+            rows.append((ty * 4 + tx, 0, [[bx0, by0], [bx0 + 550, by0],
+                                          [bx0 + 550, by0 + 550], [bx0, by0 + 550],
+                                          [bx0, by0]]))
+    tiles = pd.DataFrame(rows, columns=["tile_id", "res", "polygon"])
+    t0 = time.perf_counter()
+    n_assign = assign_tiles(spark, pts, tiles, entry.CFG).count()
+    t_tiles = time.perf_counter() - t0
+    out = {"cpus": int(cpus), "mult": mult, "n_trajs": n_trajs, "n_points": n_pts,
+           "match_sec": round(t_match, 2), "tiles_sec": round(t_tiles, 2),
+           "trajs_per_sec": round(n_trajs / t_match, 2),
+           "tile_assignments_per_sec": round(n_assign / t_tiles, 2)}
+    spark.stop()
+    return out
+
+
 def main():
+    if "--scaling-leg" in sys.argv:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+        print(json.dumps(run_scaling_leg(sf_dir, cpus, mult)))
+        return
+
     if "--scaling" in sys.argv:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         results = {}
         for cpus in ("8", "32"):
             env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
-            env.pop("_BENCH_SCALING", None)
-            p = subprocess.run([sys.executable, __file__], env=env,
+            p = subprocess.run([sys.executable, __file__, "--scaling-leg"], env=env,
                                capture_output=True, text=True, check=True)
             results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
-        t8, t32 = results["8"]["value"], results["32"]["value"]
-        tp8, tp32 = results["8"]["trajs_per_sec"], results["32"]["trajs_per_sec"]
-        eff = (t8 / t32) / 4.0           # ideal 4x speedup -> efficiency 1.0
-        tp_eff = (tp32 / tp8) / 4.0
+        r8, r32 = results["8"], results["32"]
+        eff_match = (r32["trajs_per_sec"] / r8["trajs_per_sec"]) / 4.0
+        eff_tiles = (r32["tile_assignments_per_sec"] / r8["tile_assignments_per_sec"]) / 4.0
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("# BENCH — measured throughput + scaling\n\n")
-            f.write(f"Input: {os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')}; "
-                    "identical input at both parallelism levels "
-                    "(local[8] vs local[32] = sandbox proxy for N vs 4N executors).\n\n")
-            f.write("| cores | suite sec | trajs/sec | tile-assign/sec |\n|---|---|---|---|\n")
+            f.write(f"Identical input ({sf_dir}, x{r8['mult']} replicated trajectories, "
+                    f"{r8['n_trajs']} trajectories / {r8['n_points']} points) at both "
+                    "parallelism levels; local[8] vs local[32] is the sandbox proxy "
+                    "for N vs 4N executors (driver note).\n\n")
+            f.write("| cores | match sec | trajs/sec | tiles sec | tile-assign/sec |\n"
+                    "|---|---|---|---|---|\n")
             for c in ("8", "32"):
                 r = results[c]
-                f.write(f"| {c} | {r['value']} | {r['trajs_per_sec']} | "
-                        f"{r['tile_assignments_per_sec']} |\n")
-            f.write(f"\nSuite-time scaling efficiency (8->32 cores): **{eff:.3f}**\n")
-            f.write(f"Matching-throughput scaling efficiency: **{tp_eff:.3f}**\n\n")
-            f.write("Per-query seconds:\n\n| query | 8 cores | 32 cores | speedup |\n|---|---|---|---|\n")
-            for q in HEADLINE:
-                a, b = results["8"]["queries"][q], results["32"]["queries"][q]
-                f.write(f"| {q} | {a} | {b} | {a / max(b, 1e-9):.2f}x |\n")
-        print(json.dumps({"metric": "scaling_efficiency", "value": round(eff, 3),
-                          "unit": "ratio", "queries": results["32"]["queries"],
-                          "sf": results["32"]["sf"], "detail": results}))
+                f.write(f"| {c} | {r['match_sec']} | {r['trajs_per_sec']} | "
+                        f"{r['tiles_sec']} | {r['tile_assignments_per_sec']} |\n")
+            f.write(f"\nMap-matching throughput scaling efficiency (8 -> 32 cores, "
+                    f"ideal 4.0x): **{eff_match:.3f}**\n\n")
+            f.write(f"Tile-assignment throughput scaling efficiency: **{eff_tiles:.3f}**\n")
+        print(json.dumps({"metric": "scaling_efficiency", "value": round(eff_match, 3),
+                          "unit": "ratio", "sf": 0.1, "detail": results}))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

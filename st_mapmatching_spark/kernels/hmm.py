@@ -198,7 +198,7 @@ def score_base(gt: pd.DataFrame, cfg: MatchConfig = MatchConfig()) -> pd.DataFra
     d_euc = gt.d_euc.to_numpy(dtype=np.float64)
     d_sht = np.where(flag1 & (d_sht < _EPS), d_euc, d_sht)
     gt["d_sht"] = d_sht
-    if flag1.any():
+    if flag1.any() and "epath" in gt.columns:
         gt.loc[gt.flag == FLAG_SAME_SRC_FIRST, "epath"] = None
 
     # dist_prob = min(d_euc/d_sht, d_sht/d_euc) (spatialAnalysis.py:71-75)
@@ -286,10 +286,15 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
     (viterbi.py:107-154, 71-95). ``gt`` must already be scored
     (trans_prob, observ_prob columns). Returns (end_prob, rList DataFrame
     with columns pid, eid)."""
-    layer_ids = np.sort(cands.pid.unique())
-    start = (cands[cands.pid == 0]
-             .sort_values(["dist_p2c", "eid"])  # deterministic dict order
-             .set_index("eid")["observ_prob"].to_dict())
+    c_pid = cands.pid.to_numpy()
+    c_eid = cands.eid.to_numpy()
+    layer_ids = np.unique(c_pid)
+    m0 = c_pid == 0
+    d0 = cands.dist_p2c.to_numpy()[m0]
+    e0_ = c_eid[m0]
+    o0 = cands.observ_prob.to_numpy()[m0]
+    ordr = np.lexsort((e0_, d0))  # deterministic dict order (dist, eid)
+    start = {int(e0_[i]): float(o0[i]) for i in ordr}
     f_score = [dict(start)]
     prev_path = {0: {st: None for st in start}}
     prev_states = set(start)
@@ -372,8 +377,13 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
 
 def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
                 end_prob: float, cfg: MatchConfig = MatchConfig(),
-                dir_trans: bool = True) -> dict:
-    """Assemble the final matched path + metrics (postprocess.py:13-97)."""
+                dir_trans: bool = True, epath_lookup=None) -> dict:
+    """Assemble the final matched path + metrics (postprocess.py:13-97).
+
+    ``gt`` carries either an ``epath`` column (oracle path) or
+    (o_node, d_node, flag) + ``epath_lookup(o, d) -> list|None`` (engine
+    path — nested path arrays never ride through Arrow; they are fetched
+    from the broadcast sp table only for the <=L chosen steps)."""
     res = {"status": STATUS_UNKNOWN, "epath": None, "step_0": np.nan, "step_n": np.nan,
            "dist": np.nan, "avg_speed": np.nan, "prob": end_prob,
            "norm_prob": np.nan, "dist_prob": np.nan, "trans_prob": np.nan,
@@ -382,34 +392,52 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
         res["status"] = STATUS_FAILED
         return res
 
-    ck = cands.set_index(["pid", "eid"])
-    first = ck.loc[(int(rlist.iloc[0].pid), int(rlist.iloc[0].eid))]
-    last = ck.loc[(int(rlist.iloc[-1].pid), int(rlist.iloc[-1].eid))]
-    res["step_0"] = float(first["len0"] / (first["len0"] + first["len1"]))
-    res["step_n"] = float(last["len0"] / (last["len0"] + last["len1"]))
+    r_pid = rlist.pid.to_numpy()
+    r_eid = rlist.eid.to_numpy()
+    ck = {(int(p), int(e)): (float(l0), float(l1))
+          for p, e, l0, l1 in zip(cands.pid.to_numpy(), cands.eid.to_numpy(),
+                                  cands.len0.to_numpy(), cands.len1.to_numpy())}
+    f_l0, f_l1 = ck[(int(r_pid[0]), int(r_eid[0]))]
+    l_l0, l_l1 = ck[(int(r_pid[-1]), int(r_eid[-1]))]
+    res["step_0"] = f_l0 / (f_l0 + f_l1)
+    res["step_n"] = l_l0 / (l_l0 + l_l1)
 
     if len(rlist) == 1:
-        res["epath"] = [int(rlist.iloc[0].eid)]
+        res["epath"] = [int(r_eid[0])]
         res["status"] = STATUS_FAILED if end_prob < cfg.prob_thres else STATUS_SAME_LINK
         return res
 
-    gk = gt.set_index(["pid_0", "eid_0", "eid_1"])
-    keys = [(int(rlist.iloc[i].pid), int(rlist.iloc[i].eid), int(rlist.iloc[i + 1].eid))
+    gk = {(int(p), int(a), int(b)): i for i, (p, a, b) in enumerate(
+        zip(gt.pid_0.to_numpy(), gt.eid_0.to_numpy(), gt.eid_1.to_numpy()))}
+    keys = [(int(r_pid[i]), int(r_eid[i]), int(r_eid[i + 1]))
             for i in range(len(rlist) - 1)]
-    if any(k not in gk.index for k in keys):
+    if any(k not in gk for k in keys):
         # only reachable via the empty-lattice guard in viterbi_beam;
         # the reference raises here, we degrade to FAILED
         res["status"] = STATUS_FAILED
         return res
-    steps = gk.loc[keys, ["epath", "d_sht", "avg_speed", "dist_prob", "trans_prob"]].reset_index()
+    rows = np.array([gk[k] for k in keys], dtype=np.int64)
+    g_dsht = gt.d_sht.to_numpy(dtype=np.float64)[rows]
+    g_speed = gt.avg_speed.to_numpy(dtype=np.float64)[rows]
+    g_distp = gt.dist_prob.to_numpy(dtype=np.float64)[rows]
+    g_transp = gt.trans_prob.to_numpy(dtype=np.float64)[rows]
+    if "epath" in gt.columns:
+        g_ep = gt.epath.to_numpy(dtype=object)[rows]
+    else:
+        g_flag = gt.flag.to_numpy()[rows]
+        g_o = gt.o_node.to_numpy()[rows]
+        g_d = gt.d_node.to_numpy()[rows]
+        g_ep = np.array([None if int(f) == FLAG_SAME_SRC_FIRST
+                         else epath_lookup(int(o), int(d))
+                         for o, d, f in zip(g_o, g_d, g_flag)], dtype=object)
 
     eids = []
-    for _, s in steps.iterrows():
-        eids.append(int(s.eid_0))
-        ep = s.epath
+    for i, k in enumerate(keys):
+        eids.append(k[1])
+        ep = g_ep[i]
         if ep is not None and not (isinstance(ep, float) and np.isnan(ep)) and len(ep) > 0:
             eids.extend(int(e) for e in ep)
-    eids.append(int(steps.iloc[-1].eid_1))
+    eids.append(int(r_eid[-1]))
     dedup = [eids[0]] + [e for i, e in enumerate(eids[1:]) if e != eids[i]]
     res["epath"] = dedup
 
@@ -417,15 +445,15 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
         res["status"] = STATUS_FAILED if end_prob < cfg.prob_thres else STATUS_SAME_LINK
         return res
 
-    d_sht = steps.d_sht.to_numpy(dtype=np.float64)
+    d_sht = g_dsht
     res["dist"] = float(d_sht.sum())
     with np.errstate(invalid="ignore"):
-        res["avg_speed"] = float(np.average(steps.avg_speed.to_numpy(dtype=np.float64), weights=d_sht)) \
+        res["avg_speed"] = float(np.average(g_speed, weights=d_sht)) \
             if d_sht.sum() > 0 else float("nan")
 
-    coef = 1.0 / len(steps)
-    dist_prob = float(np.prod(steps.dist_prob.to_numpy(dtype=np.float64)))
-    trans_prob = float(np.prod(steps.trans_prob.to_numpy(dtype=np.float64)))
+    coef = 1.0 / len(keys)
+    dist_prob = float(np.prod(g_distp))
+    trans_prob = float(np.prod(g_transp))
     res["norm_prob"] = float(np.power(end_prob, coef))
     res["dist_prob"] = float(np.power(dist_prob, coef))
     res["trans_prob"] = float(np.power(trans_prob, coef))

@@ -32,8 +32,11 @@ MATCHED_SCHEMA = ("url string, status int, epath array<long>, step_0 double, "
                   "step_n double, dist double, avg_speed double, prob double, "
                   "norm_prob double, dist_prob double, trans_prob double, dir_prob double")
 
+# no `epath` here: nested arrays through Arrow cost ~10x the rest of the
+# row combined (measured); stitch fetches paths from the broadcast sp map
 SCORED_COLS = ["url", "pid_0", "pid_1", "eid_0", "eid_1", "flag", "observ_prob",
-               "trans_prob", "dist_prob", "dir_prob", "d_sht", "avg_speed", "epath"]
+               "trans_prob", "dist_prob", "dir_prob", "d_sht", "avg_speed",
+               "o_node", "d_node"]
 
 
 def build_pairs_df(cands: DataFrame, points: DataFrame, cfg: MatchConfig) -> DataFrame:
@@ -100,21 +103,25 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
     demand-driven sp table is bounded by the trajectory corridor, so it is
     broadcastable for city/regional networks); set False at planet scale
     to shuffle on (o_node, d_node) instead."""
-    sp_side = F.broadcast(sp) if broadcast_sp else sp
+    sp_slim = sp.select("o_node", "d_node", "cost", "path_speed",
+                        "pcx", "pcy", "pw", "pn",
+                        F.coalesce(F.size("epath"), F.lit(0)).alias("path_len"))
+    sp_side = F.broadcast(sp_slim) if broadcast_sp else sp_slim
     joined = (pairs.join(sp_side, ["o_node", "d_node"], "left")
               .withColumn("cost", F.coalesce(F.col("cost"), F.lit(float("inf"))))
               .withColumn("path_speed", F.coalesce(F.col("path_speed"), F.lit(0.0)))
               .withColumn("pcx", F.coalesce(F.col("pcx"), F.lit(0.0)))
               .withColumn("pcy", F.coalesce(F.col("pcy"), F.lit(0.0)))
               .withColumn("pw", F.coalesce(F.col("pw"), F.lit(0.0)))
-              .withColumn("pn", F.coalesce(F.col("pn"), F.lit(0))))
+              .withColumn("pn", F.coalesce(F.col("pn"), F.lit(0)))
+              .withColumn("path_len", F.coalesce(F.col("path_len"), F.lit(0))))
 
     bc = spark.sparkContext.broadcast(net.dir_stats())
     dir_trans = cfg.dir_trans
 
     schema = ("url string, pid_0 int, pid_1 int, eid_0 long, eid_1 long, flag int, "
               "observ_prob double, trans_prob double, dist_prob double, dir_prob double, "
-              "d_sht double, avg_speed double, epath array<long>")
+              "d_sht double, avg_speed double, o_node long, d_node long")
 
     def op(batches):
         from ..kernels.dir_stats import dir_prob_from_stats
@@ -140,10 +147,9 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
 
                 cx0, cy0, w0, n0, p0 = stats.tail_cut_stats(e0, i0, r0)
                 cxn, cyn, wn, nn, pn_ = stats.head_cut_stats(en, i_n, rn)
-                # path stats come pre-joined from the sp table; flag-1 rows
-                # drop the path entirely (score_base already nulled epath)
-                has_path = np.array([e is not None and len(e) > 0
-                                     for e in scored.epath], dtype=bool)
+                # path presence via the slim path_len column (flag-1 rows
+                # drop the path entirely via the override below)
+                has_path = scored.path_len.to_numpy() > 0
                 pcx = scored.pcx.to_numpy(); pcy = scored.pcy.to_numpy()
                 pw = scored.pw.to_numpy(); pn_path = scored.pn.to_numpy()
 
@@ -181,17 +187,19 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
                     scored.move_dir.to_numpy(dtype=np.float64), cx, cy, w, n, present)
                 scored["trans_prob"] = scored.dist_prob * scored.dir_prob
 
-            out = scored[SCORED_COLS].copy()
-            out["epath"] = [None if e is None or (isinstance(e, float) and np.isnan(e))
-                            else list(e) for e in out["epath"]]
-            yield out
+            yield scored[SCORED_COLS]
 
     return joined.mapInPandas(op, schema=schema)
 
 
-def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig) -> DataFrame:
+def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
+                  sp_paths) -> DataFrame:
     """Cogrouped per-trajectory beam Viterbi + path stitch (the stateful
-    core, viterbi.py:107-154 + postprocess.py:13-97)."""
+    core, viterbi.py:107-154 + postprocess.py:13-97).
+
+    ``sp_paths`` is a broadcast dict {(o_node, d_node): epath list} — paths
+    are resolved only for the <=L winning steps per trajectory instead of
+    shipping nested arrays through the cogroup shuffle."""
     cands_min = cands.select("url", "pid", "eid", "src", "dst",
                              "dist_p2c", "observ_prob", "len0", "len1")
     dir_trans = cfg.dir_trans
@@ -209,10 +217,10 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig) -> Data
             best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
             base.update(status=hmm.STATUS_ONE_POINT, epath=[int(best.eid)])
             return pd.DataFrame([base])
-        gpdf = gpdf.copy()
-        gpdf["epath"] = [None if e is None else list(e) for e in gpdf["epath"]]
+        paths = sp_paths.value
         end_prob, rlist = hmm.viterbi_beam(cpdf, gpdf, cfg)
-        res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans)
+        res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
+                              epath_lookup=lambda o, d: paths.get((o, d)))
         base.update(res)
         return pd.DataFrame([base])
 
@@ -236,13 +244,24 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
 
     pairs = build_pairs_df(cands, points, cfg).persist()
     demands = pairs.select("o_node", "d_node")
-    sp = shortest_path_table(spark, demands, net, cfg)
+    sp = shortest_path_table(spark, demands, net, cfg).persist()
     scored = score_pairs_df(spark, pairs, sp, net, cfg)
 
-    matched = viterbi_match(cands, scored, cfg)
+    # demand-bounded path map for stitch (the sp table is already collected
+    # for the broadcast join; at planet scale swap for a post-Viterbi
+    # relational epath attach instead)
+    sp_paths = spark.sparkContext.broadcast({
+        (int(r.o_node), int(r.d_node)): list(r.epath) if r.epath is not None else None
+        for r in sp.select("o_node", "d_node", "epath")
+                   .filter(F.col("epath").isNotNull()).collect()})
 
+    matched = viterbi_match(cands, scored, cfg, sp_paths)
+
+    # matched urls == candidate urls (cogroup keys), so anti-join against
+    # the *persisted* cands — referencing `matched` here would make the
+    # expensive cogroup branch compute twice per action
     no_cands = (points.select("url").distinct()
-                .join(matched.select("url"), "url", "left_anti")
+                .join(cands.select("url"), "url", "left_anti")
                 .select("url",
                         F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
                         F.lit(None).cast("array<long>").alias("epath"),

@@ -112,6 +112,19 @@ def derive_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("event_id"))
 
 
+def replicate_points(points: DataFrame, mult: int) -> DataFrame:
+    """Deterministically replicate trajectories (url suffixed per copy) —
+    used by the scaling benchmark to reach a compute-bound regime while
+    keeping the input identical across parallelism levels."""
+    if mult <= 1:
+        return points
+    spark = points.sparkSession
+    copies = spark.range(mult).select(F.col("id").alias("_copy"))
+    return (points.crossJoin(copies)
+            .withColumn("url", F.concat(F.col("url"), F.lit("_r"), F.col("_copy")))
+            .drop("_copy"))
+
+
 # ---------------------------------------------------------------------------
 # derived points / network: DuckDB SQL side
 # ---------------------------------------------------------------------------
