@@ -126,7 +126,7 @@ def q_geo_knn_edges(spark, sf):
     from st_mapmatching_spark.operators.candidates import candidate_join, network_frames
     idx, attrs = network_frames(spark, _net())
     p = _pts(spark, sf).select("url", "pid", "x", "y")
-    cands = candidate_join(p, idx, attrs, CFG)
+    cands = candidate_join(p, idx, attrs, CFG, net=_net())
     w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
     return (cands.withColumn("rank", F.row_number().over(w))
             .select("url", "pid", "eid", F.round("dist_p2c", 6).alias("dist_r"), "rank"))

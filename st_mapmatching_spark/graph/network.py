@@ -55,6 +55,33 @@ class Network:
         ys = np.concatenate([g[:, 1] for g in geom_xy])
         self.bbox_xy = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
 
+    def attr_arrays(self):
+        """(src, dst, dist, speed) numpy arrays aligned with the sorted-eid
+        order of padded_geoms() — per-candidate attributes are gathered
+        from this broadcast instead of riding through joins."""
+        if not hasattr(self, "_attr_arrays"):
+            eids = np.array(sorted(self.edge_coords), dtype=np.int64)
+            self._attr_arrays = (
+                np.array([self.edge_src[int(e)] for e in eids], dtype=np.int64),
+                np.array([self.edge_dst[int(e)] for e in eids], dtype=np.int64),
+                np.array([self.edge_dist[int(e)] for e in eids]),
+                np.array([self.edge_speed[int(e)] for e in eids]),
+            )
+        return self._attr_arrays
+
+    def padded_geoms(self):
+        """(sorted eid array, (N, K, 2) padded geometry matrix) for
+        broadcast: the refine stage gathers per-row polylines by eid with
+        one numpy indexing op instead of shipping nested geometry through
+        the join. K is the max vertex count; for networks with a few very
+        long polylines, split edges at build time to bound K."""
+        if not hasattr(self, "_padded"):
+            from ..kernels.linear_ref import pad_polylines
+            eids = np.array(sorted(self.edge_coords), dtype=np.int64)
+            mat, _ = pad_polylines([self.edge_coords[int(e)] for e in eids])
+            self._padded = (eids, mat)
+        return self._padded
+
     def dir_stats(self):
         """Lazily-built per-edge direction sufficient stats
         (kernels.dir_stats.EdgeDirStats)."""
@@ -77,10 +104,10 @@ class Network:
         return pd.DataFrame({"cell": np.concatenate(cells), "eid": np.concatenate(eids)})
 
     def edge_attrs(self) -> pd.DataFrame:
-        """Columns the candidate join needs, geometry as list-of-[x,y]."""
-        df = self.edges[["eid", "src", "dst", "way_id", "dir", "dist", "speed"]].copy()
-        df["geom_xy"] = [g.tolist() for g in self.edges["geom_xy"]]
-        return df
+        """Scalar columns the candidate join needs. Geometry deliberately
+        excluded — it reaches executors via the padded_geoms broadcast, so
+        nested arrays never ride through joins or Arrow."""
+        return self.edges[["eid", "src", "dst", "way_id", "dir", "dist", "speed"]].copy()
 
     def vpath_from_epath(self, epath) -> list[int] | None:
         """edge-id path -> node-id path

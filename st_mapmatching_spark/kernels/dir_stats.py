@@ -152,6 +152,49 @@ class EdgeDirStats:
         return (self.first_v if first else self.last_v)[di]
 
 
+def engine_dir_probs(stats: "EdgeDirStats", e0, i0, r0, e1, i1, r1,
+                     approx, flag1, has_path, pcx, pcy, pw, pn_path,
+                     move_dir) -> np.ndarray:
+    """The engine's full dir_prob computation from sufficient stats —
+    shared by the relational Arrow scorer and the fused per-trajectory
+    matcher (single source of truth for the part/joint bookkeeping)."""
+    from .geodesy import bearing_deg
+
+    en = np.where(approx, e0, e1)
+    i_n = np.where(approx, i0, i1)
+    rn = np.where(approx, r0, r1)
+
+    cx0, cy0, w0, n0, p0 = stats.tail_cut_stats(e0, i0, r0)
+    cxn, cyn, wn, nn, pn_ = stats.head_cut_stats(en, i_n, rn)
+
+    # real joint segment step_0 -> step_n when the path is absent
+    jfrom = stats.vertex(e0, first=False)
+    jto = stats.vertex(en, first=True)
+    jlen = np.hypot(jto[:, 0] - jfrom[:, 0], jto[:, 1] - jfrom[:, 1])
+    jb = np.radians(bearing_deg(jfrom[:, 0], jfrom[:, 1], jto[:, 0], jto[:, 1]))
+    jreal = p0 & pn_ & (~has_path) & (~flag1)
+
+    parts = p0.astype(np.int64) + pn_.astype(np.int64) + has_path.astype(np.int64)
+    n_joints = np.maximum(parts - 1, 0)
+    cx = (np.where(p0, cx0, 0.0) + np.where(has_path, pcx, 0.0)
+          + np.where(pn_, cxn, 0.0) + np.where(jreal, jlen * np.cos(jb), 0.0))
+    cy = (np.where(p0, cy0, 0.0) + np.where(has_path, pcy, 0.0)
+          + np.where(pn_, cyn, 0.0) + np.where(jreal, jlen * np.sin(jb), 0.0))
+    w = (np.where(p0, w0, 0.0) + np.where(has_path, pw, 0.0)
+         + np.where(pn_, wn, 0.0) + np.where(jreal, jlen, 0.0))
+    n = (np.where(p0, n0, 0) + np.where(has_path, pn_path, 0)
+         + np.where(pn_, nn, 0) + n_joints)
+
+    # flag-1: geometry is step_n alone, and only when step_0 exists
+    # (the reference's get_shared_line behavior, match/misc.py:42-52)
+    cx = np.where(flag1, cxn, cx)
+    cy = np.where(flag1, cyn, cy)
+    w = np.where(flag1, wn, w)
+    n = np.where(flag1, nn, n)
+    present = np.where(flag1, p0 & pn_, parts > 0)
+    return dir_prob_from_stats(move_dir, cx, cy, w, n, present)
+
+
 def dir_prob_from_stats(move_dir_deg: np.ndarray, cx, cy, w, n, present) -> np.ndarray:
     """Closed-form dir_prob; nan when no geometry, unweighted fallback
     (all-zero-length segments all have bearing 0) when total length is 0."""

@@ -167,6 +167,34 @@ def path_coords_from_epath(epath, edge_coords: dict) -> np.ndarray | None:
     return np.concatenate(parts)
 
 
+def score_base_np(cost, step_0_len, step_n_len, speed_0, speed_1, path_speed,
+                  flag, dist_0, d_euc):
+    """Pure-array form of the base scoring (spatialAnalysis.py:10-121):
+    returns (avg_speed, d_sht, dist_prob, flag1_mask). All inputs float64/
+    int arrays of equal length."""
+    # temporal: weighted average of (speed_0, speed_1, path_speed) with
+    # weights (step_0_len, step_n_len, cost); 0/inf weights -> eps
+    # (spatialAnalysis.py:79-111)
+    speeds = np.stack([speed_0, speed_1, path_speed], axis=1)
+    weights = np.stack([step_0_len, step_n_len, cost], axis=1)
+    weights = np.where(~np.isfinite(weights) | (weights == 0), _EPS, weights)
+    avg_speed = (speeds * weights).sum(axis=1) / weights.sum(axis=1)
+
+    # shortest-path distance (spatialAnalysis.py:60-69)
+    d_sht = cost + step_0_len + step_n_len
+    flag1 = flag == FLAG_SAME_SRC_FIRST
+    d_sht = np.where(flag1, step_0_len + step_n_len - dist_0, d_sht)
+    d_sht = np.where(flag1 & (d_sht < _EPS), d_euc, d_sht)
+
+    # dist_prob = min(d_euc/d_sht, d_sht/d_euc) (spatialAnalysis.py:71-75)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = d_euc / d_sht
+        r = np.where(r > 1.0, 1.0 / r, r)
+        r = np.where(d_sht == 0, np.where(d_euc == 0, np.nan, 0.0), r)
+        r = np.where(np.isinf(d_sht), 0.0, r)
+    return avg_speed, d_sht, r, flag1
+
+
 def score_base(gt: pd.DataFrame, cfg: MatchConfig = MatchConfig()) -> pd.DataFrame:
     """avg_speed, d_sht, dist_prob (everything except the direction term)
     given the shortest-path attach columns ``cost`` (inf if unreachable, 0
@@ -177,37 +205,21 @@ def score_base(gt: pd.DataFrame, cfg: MatchConfig = MatchConfig()) -> pd.DataFra
             gt[c] = np.array([], dtype=np.float64)
         return gt
 
-    cost = gt.cost.to_numpy(dtype=np.float64)
-    step_0_len = gt.step_0_len.to_numpy(dtype=np.float64)
-    step_n_len = gt.step_n_len.to_numpy(dtype=np.float64)
-
-    # temporal: weighted average of (speed_0, speed_1, path_speed) with
-    # weights (step_0_len, step_n_len, cost); 0/inf weights -> eps
-    # (spatialAnalysis.py:79-111)
-    speeds = np.stack([gt.speed_0.to_numpy(dtype=np.float64),
-                       gt.speed_1.to_numpy(dtype=np.float64),
-                       gt.path_speed.to_numpy(dtype=np.float64)], axis=1)
-    weights = np.stack([step_0_len, step_n_len, cost], axis=1)
-    weights = np.where(~np.isfinite(weights) | (weights == 0), _EPS, weights)
-    gt["avg_speed"] = (speeds * weights).sum(axis=1) / weights.sum(axis=1)
-
-    # shortest-path distance (spatialAnalysis.py:60-69)
-    d_sht = cost + step_0_len + step_n_len
-    flag1 = gt.flag.to_numpy() == FLAG_SAME_SRC_FIRST
-    d_sht = np.where(flag1, step_0_len + step_n_len - gt.dist_0.to_numpy(dtype=np.float64), d_sht)
-    d_euc = gt.d_euc.to_numpy(dtype=np.float64)
-    d_sht = np.where(flag1 & (d_sht < _EPS), d_euc, d_sht)
+    avg_speed, d_sht, dist_prob, flag1 = score_base_np(
+        gt.cost.to_numpy(dtype=np.float64),
+        gt.step_0_len.to_numpy(dtype=np.float64),
+        gt.step_n_len.to_numpy(dtype=np.float64),
+        gt.speed_0.to_numpy(dtype=np.float64),
+        gt.speed_1.to_numpy(dtype=np.float64),
+        gt.path_speed.to_numpy(dtype=np.float64),
+        gt.flag.to_numpy(),
+        gt.dist_0.to_numpy(dtype=np.float64),
+        gt.d_euc.to_numpy(dtype=np.float64))
+    gt["avg_speed"] = avg_speed
     gt["d_sht"] = d_sht
+    gt["dist_prob"] = dist_prob
     if flag1.any() and "epath" in gt.columns:
         gt.loc[gt.flag == FLAG_SAME_SRC_FIRST, "epath"] = None
-
-    # dist_prob = min(d_euc/d_sht, d_sht/d_euc) (spatialAnalysis.py:71-75)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        r = d_euc / d_sht
-        r = np.where(r > 1.0, 1.0 / r, r)
-        r = np.where(d_sht == 0, np.where(d_euc == 0, np.nan, 0.0), r)
-        r = np.where(np.isinf(d_sht), 0.0, r)
-    gt["dist_prob"] = r
     return gt
 
 

@@ -32,6 +32,42 @@ def pad_polylines(lines) -> tuple[np.ndarray, np.ndarray]:
     return mat, k
 
 
+def project_core(points: np.ndarray, mat: np.ndarray) -> dict:
+    """Vectorized point-onto-padded-polyline projection.
+
+    points: (n, 2); mat: (n, K, 2) polylines padded by repeating the final
+    vertex (padded segments are zero-length and can never win the arg-min:
+    the real segment that achieves the same distance comes first).
+    Returns proj, dist, len0, len1, seg_idx, ratio arrays.
+    """
+    a = mat[:, :-1, :]
+    b = mat[:, 1:, :]
+    ab = b - a
+    d2 = (ab ** 2).sum(axis=-1)
+    seg_len = np.sqrt(d2)
+    d2_safe = np.where(d2 == 0, _EPS, d2)
+
+    ap = points[:, None, :] - a
+    t = (ab * ap).sum(axis=-1) / d2_safe
+    t = np.clip(t, 0.0, 1.0)
+
+    proj_all = a + ab * t[..., None]
+    dist_all = np.linalg.norm(points[:, None, :] - proj_all, axis=-1)
+
+    n = len(points)
+    seg_idx = np.argmin(dist_all, axis=1)
+    rows = np.arange(n)
+    proj = proj_all[rows, seg_idx]
+    ratio = t[rows, seg_idx]
+    dist = dist_all[rows, seg_idx]
+
+    csum = np.concatenate([np.zeros((n, 1)), np.cumsum(seg_len, axis=1)], axis=1)
+    len0 = csum[rows, seg_idx] + seg_len[rows, seg_idx] * ratio
+    len1 = csum[:, -1] - len0
+    return {"proj": proj, "dist": dist, "len0": len0, "len1": len1,
+            "seg_idx": seg_idx, "ratio": ratio}
+
+
 def project_points_onto_polylines(points: np.ndarray, lines, cut: bool = True) -> dict:
     """For each (point, polyline) pair compute the closest point on the line.
 
@@ -52,37 +88,8 @@ def project_points_onto_polylines(points: np.ndarray, lines, cut: bool = True) -
     points = np.asarray(points, dtype=np.float64)
     n = len(lines)
     mat, k = pad_polylines(lines)
-
-    a = mat[:, :-1, :]                     # (n, k-1, 2) segment starts
-    b = mat[:, 1:, :]                      # (n, k-1, 2) segment ends
-    ab = b - a
-    d2 = (ab ** 2).sum(axis=-1)            # (n, k-1)
-    seg_len = np.sqrt(d2)
-    d2_safe = np.where(d2 == 0, _EPS, d2)
-
-    ap = points[:, None, :] - a            # (n, k-1, 2)
-    t = (ab * ap).sum(axis=-1) / d2_safe
-    t = np.clip(t, 0.0, 1.0)
-
-    proj_all = a + ab * t[..., None]
-    dist_all = np.linalg.norm(points[:, None, :] - proj_all, axis=-1)
-
-    seg_idx = np.argmin(dist_all, axis=1)
-    rows = np.arange(n)
-    proj = proj_all[rows, seg_idx]
-    ratio = t[rows, seg_idx]
-    dist = dist_all[rows, seg_idx]
-
-    # arc-length offset: sum of full segments before the winner + partial
-    csum = np.concatenate([np.zeros((n, 1)), np.cumsum(seg_len, axis=1)], axis=1)
-    len0 = csum[rows, seg_idx] + seg_len[rows, seg_idx] * ratio
-    total = csum[:, -1]
-    len1 = total - len0
-
-    out = {
-        "proj": proj, "dist": dist, "len0": len0, "len1": len1,
-        "seg_idx": seg_idx, "ratio": ratio,
-    }
+    out = project_core(points, mat)
+    proj, ratio, seg_idx = out["proj"], out["ratio"], out["seg_idx"]
     if cut:
         seg0, seg1 = [], []
         for i in range(n):

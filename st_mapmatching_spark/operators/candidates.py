@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 from ..config import MatchConfig
 from ..functions.geo_cols import cell_col, xy_cols
 from ..graph.network import Network
-from ..kernels.linear_ref import project_points_onto_polylines
+from ..kernels.linear_ref import project_core
 from ..kernels.simplify import simplify_points
 from ..sources.extract import extract_points
 
@@ -48,6 +48,10 @@ POINTS_SCHEMA = "url string, pid int, x double, y double"
 REFINE_SCHEMA = ("url string, pid int, x double, y double, eid long, src long, dst long, "
                  "way_id long, dir int, dist double, speed double, dist_p2c double, "
                  "len0 double, len1 double, seg_idx int, ratio double")
+# Slimmest variant for the fused matcher: the refine emits only dist_p2c;
+# attributes and cut parameters are re-derived per trajectory from the
+# broadcast network (Arrow boundary width is the measured cost driver).
+REFINE_SCHEMA_SLIM = "url string, pid int, x double, y double, eid long, dist_p2c double"
 
 
 def extract_trajs(pages: DataFrame) -> DataFrame:
@@ -91,12 +95,14 @@ def network_frames(spark: SparkSession, net: Network):
     attrs = spark.createDataFrame(
         net.edge_attrs(),
         schema=("eid long, src long, dst long, way_id long, dir int, "
-                "dist double, speed double, geom_xy array<array<double>>"))
+                "dist double, speed double"))
     return idx, attrs
 
 
 def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFrame,
-                   cfg: MatchConfig, broadcast_index: bool = True) -> DataFrame:
+                   cfg: MatchConfig, broadcast_index: bool = True,
+                   net: Network | None = None,
+                   padded_geoms=None, slim: bool = False) -> DataFrame:
     """points(url,pid,x,y metric) x edges -> candidates with projection.
 
     Plan: explode each point's +-radius box into its <= 4 cover cells
@@ -123,25 +129,46 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
     pairs = (covered.join(idx, "cell")
              .select("url", "pid", "x", "y", "eid"))
 
-    cands = pairs.join(F.broadcast(edge_attrs), "eid")
+    cands = pairs if slim else pairs.join(F.broadcast(edge_attrs), "eid")
+
+    if padded_geoms is None:
+        assert net is not None, "candidate_join needs `net` or `padded_geoms`"
+        padded_geoms = points.sparkSession.sparkContext.broadcast(net.padded_geoms())
 
     def refine(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        """mapInArrow: numeric columns come out of Arrow zero-copy; the
+        polyline per row is gathered from the broadcast padded matrix by
+        eid — no nested arrays, no pandas. In slim mode only dist_p2c is
+        emitted; downstream stages re-derive everything else from the
+        broadcast (Arrow boundary width is the measured cost driver)."""
+        import pyarrow as pa
+        eids_sorted, mat = padded_geoms.value
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            res = project_points_onto_polylines(
-                pdf[["x", "y"]].to_numpy(),
-                [np.vstack(g).astype(np.float64) for g in pdf["geom_xy"]],
-                cut=False)
-            out = pdf.drop(columns=["geom_xy"]).copy()
-            out["dist_p2c"] = res["dist"]
-            out["len0"] = res["len0"]
-            out["len1"] = res["len1"]
-            out["seg_idx"] = res["seg_idx"].astype(np.int32)
-            out["ratio"] = res["ratio"]
-            yield out
+            names = b.schema.names
+            col = {n: b.column(i) for i, n in enumerate(names)}
+            x = col["x"].to_numpy(zero_copy_only=False)
+            y = col["y"].to_numpy(zero_copy_only=False)
+            eid = col["eid"].to_numpy(zero_copy_only=False)
+            di = np.searchsorted(eids_sorted, eid)
+            res = project_core(np.stack([x, y], axis=1), mat[di])
+            if slim:
+                order = ["url", "pid", "x", "y", "eid"]
+                arrays = [col[n] for n in order] + [pa.array(res["dist"])]
+                yield pa.RecordBatch.from_arrays(arrays, order + ["dist_p2c"])
+                continue
+            order = ["url", "pid", "x", "y", "eid", "src", "dst", "way_id",
+                     "dir", "dist", "speed"]
+            arrays = [col[n] for n in order]
+            arrays += [pa.array(res["dist"]), pa.array(res["len0"]),
+                       pa.array(res["len1"]),
+                       pa.array(res["seg_idx"].astype(np.int32)),
+                       pa.array(res["ratio"])]
+            yield pa.RecordBatch.from_arrays(
+                arrays, order + ["dist_p2c", "len0", "len1", "seg_idx", "ratio"])
 
-    refined = (cands.mapInPandas(refine, schema=REFINE_SCHEMA)
+    refined = (cands.mapInArrow(refine, schema=REFINE_SCHEMA_SLIM if slim else REFINE_SCHEMA)
                .filter(F.col("dist_p2c") <= r)
                # One deliberate shuffle on url: url-hash partitioning is a
                # subset of every downstream clustering key — (url,pid,eid)

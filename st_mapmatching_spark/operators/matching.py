@@ -59,16 +59,7 @@ def build_pairs_df(cands: DataFrame, points: DataFrame, cfg: MatchConfig) -> Dat
 
     # consecutive candidate layers (pids that HAVE candidates), with the
     # straight-line distance/heading between them (candidatesGraph.py:137-160)
-    layer_pts = cands.select("url", "pid").distinct().join(points, ["url", "pid"])
-    w = Window.partitionBy("url").orderBy("pid")
-    link = (layer_pts
-            .withColumn("pid_1", F.lead("pid").over(w))
-            .withColumn("x1", F.lead("x").over(w))
-            .withColumn("y1", F.lead("y").over(w))
-            .filter(F.col("pid_1").isNotNull())
-            .select("url", F.col("pid").alias("pid_0"), "pid_1",
-                    F.hypot(F.col("x1") - F.col("x"), F.col("y1") - F.col("y")).alias("d_euc"),
-                    bearing_col(F.col("x"), F.col("y"), F.col("x1"), F.col("y1")).alias("move_dir")))
+    link = layer_links(cands, points)
 
     gt = (left.join(link, ["url", "pid_0"])
               .join(right, ["url", "pid_1"]))
@@ -124,72 +115,52 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
               "d_sht double, avg_speed double, o_node long, d_node long")
 
     def op(batches):
-        from ..kernels.dir_stats import dir_prob_from_stats
-        from ..kernels.geodesy import bearing_deg
+        """mapInArrow: every numeric column is a zero-copy numpy view; the
+        url strings pass through as Arrow arrays untouched (the
+        Arrow->pandas object conversion of wide rows was the measured
+        bottleneck of this stage)."""
+        import pyarrow as pa
+
+        from ..kernels.dir_stats import engine_dir_probs
         stats = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            scored = hmm.score_base(pdf.copy(), cfg)
+            col = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+
+            def g(name, dt=np.float64):
+                return col[name].to_numpy(zero_copy_only=False).astype(dt, copy=False)
+
+            flag = g("flag", np.int32)
+            avg_speed, d_sht, dist_prob, flag1 = hmm.score_base_np(
+                g("cost"), g("step_0_len"), g("step_n_len"),
+                g("speed_0"), g("speed_1"), g("path_speed"),
+                flag, g("dist_0"), g("d_euc"))
+
             if not dir_trans:
-                scored["dir_prob"] = np.nan
-                scored["trans_prob"] = scored.dist_prob
+                dir_prob = np.full(len(flag), np.nan)
+                trans_prob = dist_prob
             else:
-                e0 = scored.eid_0.to_numpy()
-                i0 = scored.seg_idx_0.to_numpy()
-                r0 = scored.ratio_0.to_numpy()
-                ap = scored.approx.to_numpy()
-                # the step_n source edge/cut: cand_0's own head cut after
-                # the approx-point reset, else cand_1's head cut
-                en = np.where(ap, e0, scored.eid_1.to_numpy())
-                i_n = np.where(ap, i0, scored.seg_idx_1.to_numpy())
-                rn = np.where(ap, r0, scored.ratio_1.to_numpy())
+                dir_prob = engine_dir_probs(
+                    stats,
+                    g("eid_0", np.int64), g("seg_idx_0", np.int64), g("ratio_0"),
+                    g("eid_1", np.int64), g("seg_idx_1", np.int64), g("ratio_1"),
+                    col["approx"].to_numpy(zero_copy_only=False), flag1,
+                    g("path_len", np.int64) > 0,
+                    g("pcx"), g("pcy"), g("pw"), g("pn", np.int64),
+                    g("move_dir"))
+                trans_prob = dist_prob * dir_prob
 
-                cx0, cy0, w0, n0, p0 = stats.tail_cut_stats(e0, i0, r0)
-                cxn, cyn, wn, nn, pn_ = stats.head_cut_stats(en, i_n, rn)
-                # path presence via the slim path_len column (flag-1 rows
-                # drop the path entirely via the override below)
-                has_path = scored.path_len.to_numpy() > 0
-                pcx = scored.pcx.to_numpy(); pcy = scored.pcy.to_numpy()
-                pw = scored.pw.to_numpy(); pn_path = scored.pn.to_numpy()
+            yield pa.RecordBatch.from_arrays(
+                [col["url"],
+                 col["pid_0"], col["pid_1"], col["eid_0"], col["eid_1"], col["flag"],
+                 col["observ_prob"],
+                 pa.array(trans_prob), pa.array(dist_prob), pa.array(dir_prob),
+                 pa.array(d_sht), pa.array(avg_speed),
+                 col["o_node"], col["d_node"]],
+                SCORED_COLS)
 
-                # real joint segment step_0 -> step_n when the path is absent
-                jfrom = stats.vertex(e0, first=False)
-                jto = stats.vertex(en, first=True)
-                jdx = jto[:, 0] - jfrom[:, 0]
-                jdy = jto[:, 1] - jfrom[:, 1]
-                jlen = np.hypot(jdx, jdy)
-                jb = np.radians(bearing_deg(jfrom[:, 0], jfrom[:, 1], jto[:, 0], jto[:, 1]))
-                flag1 = scored.flag.to_numpy() == hmm.FLAG_SAME_SRC_FIRST
-                jreal = p0 & pn_ & (~has_path) & (~flag1)
-
-                parts = (p0.astype(np.int64) + pn_.astype(np.int64)
-                         + has_path.astype(np.int64))
-                n_joints = np.maximum(parts - 1, 0)
-                cx = (np.where(p0, cx0, 0.0) + np.where(has_path, pcx, 0.0)
-                      + np.where(pn_, cxn, 0.0) + np.where(jreal, jlen * np.cos(jb), 0.0))
-                cy = (np.where(p0, cy0, 0.0) + np.where(has_path, pcy, 0.0)
-                      + np.where(pn_, cyn, 0.0) + np.where(jreal, jlen * np.sin(jb), 0.0))
-                w = (np.where(p0, w0, 0.0) + np.where(has_path, pw, 0.0)
-                     + np.where(pn_, wn, 0.0) + np.where(jreal, jlen, 0.0))
-                n = (np.where(p0, n0, 0) + np.where(has_path, pn_path, 0)
-                     + np.where(pn_, nn, 0) + n_joints)
-
-                # flag-1: geometry is step_n alone (and only when step_0
-                # exists) — the reference's get_shared_line behavior
-                cx = np.where(flag1, cxn, cx)
-                cy = np.where(flag1, cyn, cy)
-                w = np.where(flag1, wn, w)
-                n = np.where(flag1, nn, n)
-                present = np.where(flag1, p0 & pn_, parts > 0)
-
-                scored["dir_prob"] = dir_prob_from_stats(
-                    scored.move_dir.to_numpy(dtype=np.float64), cx, cy, w, n, present)
-                scored["trans_prob"] = scored.dist_prob * scored.dir_prob
-
-            yield scored[SCORED_COLS]
-
-    return joined.mapInPandas(op, schema=schema)
+    return joined.mapInArrow(op, schema=schema)
 
 
 def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
@@ -229,9 +200,200 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
             .applyInPandas(fn, schema=MATCHED_SCHEMA))
 
 
+def layer_links(cands: DataFrame, points: DataFrame) -> DataFrame:
+    """(url, pid_0, pid_1, d_euc, move_dir) between consecutive candidate
+    layers (candidatesGraph.py:137-160) — shared by the staged pair build
+    and the fused matcher."""
+    layer_pts = cands.select("url", "pid").distinct().join(points, ["url", "pid"])
+    w = Window.partitionBy("url").orderBy("pid")
+    return (layer_pts
+            .withColumn("pid_1", F.lead("pid").over(w))
+            .withColumn("x1", F.lead("x").over(w))
+            .withColumn("y1", F.lead("y").over(w))
+            .filter(F.col("pid_1").isNotNull())
+            .select("url", F.col("pid").alias("pid_0"), "pid_1",
+                    F.hypot(F.col("x1") - F.col("x"), F.col("y1") - F.col("y")).alias("d_euc"),
+                    bearing_col(F.col("x"), F.col("y"), F.col("x1"), F.col("y1")).alias("move_dir")))
+
+
+def sp_demands(cands: DataFrame, edge_attrs: DataFrame) -> DataFrame:
+    """Superset of the exact shortest-path demand set, computed from slim
+    columns only: (a) dst-nodes of layer i x src-nodes of layer i+1 covers
+    NORMAL and SAME_SRC_LAST transitions; (b) every candidate edge's
+    (src, dst) covers the SAME_SRC_FIRST swap. Extra pairs merely add
+    bounded-Dijkstra targets — they never change results."""
+    ce = cands.select("url", "pid", "eid").join(
+        F.broadcast(edge_attrs.select("eid", "src", "dst")), "eid")
+    w = Window.partitionBy("url").orderBy("pid")
+    link = (cands.select("url", "pid").distinct()
+            .withColumn("pid_1", F.lead("pid").over(w))
+            .filter(F.col("pid_1").isNotNull()))
+    lhs = (ce.select("url", "pid", F.col("dst").alias("o_node")).distinct()
+           .join(link, ["url", "pid"]))
+    rhs = ce.select("url", F.col("pid").alias("pid_1"),
+                    F.col("src").alias("d_node")).distinct()
+    dem_a = lhs.join(rhs, ["url", "pid_1"]).select("o_node", "d_node")
+    dem_b = ce.select(F.col("src").alias("o_node"), F.col("dst").alias("d_node"))
+    return dem_a.unionByName(dem_b)
+
+
+def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
+                sp: DataFrame, net: Network, cfg: MatchConfig) -> DataFrame:
+    """Per-trajectory pair build + flags + scoring + Viterbi + stitch in ONE
+    cogrouped stage.
+
+    The staged design materializes the top_k^2-per-layer transition-pair
+    table (O(25x points)) through three shuffles; fusing keeps it entirely
+    inside the per-url Arrow group, with the sp table + direction stats
+    broadcast. Numeric semantics are identical: the same score_base_np /
+    engine_dir_probs / viterbi_beam / stitch_path kernels run either way
+    (the parity suite pins this against the oracle)."""
+    stats_bc = spark.sparkContext.broadcast(net.dir_stats())
+    geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
+    sp_bc = spark.sparkContext.broadcast({
+        (int(r.o_node), int(r.d_node)): (
+            float(r.cost), float(r.path_speed), float(r.pcx), float(r.pcy),
+            float(r.pw), int(r.pn),
+            None if r.epath is None else [int(e) for e in r.epath])
+        for r in sp.collect()})
+    dir_trans = cfg.dir_trans
+    dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
+
+    def fn(key, cpdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.dir_stats import engine_dir_probs
+        url = key[0]
+        base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES, "epath": None,
+                "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
+                "avg_speed": np.nan, "prob": np.nan, "norm_prob": np.nan,
+                "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
+        if len(cpdf) == 0:
+            return pd.DataFrame([base])
+        if cpdf.pid.nunique() == 1:
+            best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
+            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(best.eid)])
+            return pd.DataFrame([base])
+
+        # ---- layer params between consecutive candidate layers ----
+        # (the oracle's own kernel, candidatesGraph.py:14-56 semantics)
+        layer_ids = np.unique(cpdf.pid.to_numpy())
+        lp = lpdf[lpdf.pid.isin(layer_ids)]
+        lpdf = hmm.layer_params(lp)  # pid_0, pid_1, d_euc, move_dir
+
+        # ---- pair build (numpy outer product of consecutive layers) ----
+        cpdf = cpdf.sort_values(["pid", "dist_p2c", "eid"], kind="mergesort")
+        c_pid = cpdf.pid.to_numpy()
+        starts = np.searchsorted(c_pid, lpdf.pid_0.to_numpy())
+        ends = np.searchsorted(c_pid, lpdf.pid_0.to_numpy(), side="right")
+        starts1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy())
+        ends1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy(), side="right")
+        L, R, K = [], [], []
+        for k in range(len(lpdf)):
+            li = np.arange(starts[k], ends[k])
+            ri = np.arange(starts1[k], ends1[k])
+            L.append(np.repeat(li, len(ri)))
+            R.append(np.tile(ri, len(li)))
+            K.append(np.full(len(li) * len(ri), k, dtype=np.int64))
+        L = np.concatenate(L); R = np.concatenate(R); K = np.concatenate(K)
+
+        # per-candidate attrs + cut params re-derived from the broadcast
+        # network (bitwise-identical to the refine stage's project_core)
+        from ..kernels.linear_ref import project_core
+        eids_sorted, mat, src_a, dst_a, dist_a, speed_a = geom_bc.value
+        eid = cpdf.eid.to_numpy()
+        di = np.searchsorted(eids_sorted, eid)
+        pr = project_core(np.stack([cpdf.x.to_numpy(), cpdf.y.to_numpy()], axis=1),
+                          mat[di])
+        len0, len1 = pr["len0"], pr["len1"]
+        segi, rat = pr["seg_idx"], pr["ratio"]
+        src, dst = src_a[di], dst_a[di]
+        dist, speed = dist_a[di], speed_a[di]
+        obs = cpdf.observ_prob.to_numpy()
+        cpdf = cpdf.assign(src=src, dst=dst, len0=len0, len1=len1)
+
+        e0, e1 = eid[L], eid[R]
+        dist_0 = dist[L]
+        step_0_len = len1[L]
+        left_len0 = len0[L]
+        step_n_len = len0[R]
+
+        # ---- flags (candidatesGraph.py:58-114) ----
+        offset_0 = dist_0 - step_0_len
+        cond_1 = offset_0 <= step_n_len
+        relaxed = np.minimum(np.maximum(0.0, offset_0 - dist_eps),
+                             offset_0 * (1.0 - ratio_eps))
+        cond = relaxed <= step_n_len
+        approx = cond & (~cond_1)
+        step_n_len = np.where(approx, left_len0, step_n_len)
+        same = e0 == e1
+        flag = np.where(same & cond, hmm.FLAG_SAME_SRC_FIRST,
+                        np.where(same & (~cond), hmm.FLAG_SAME_SRC_LAST,
+                                 hmm.FLAG_NORMAL)).astype(np.int32)
+        flag1 = flag == hmm.FLAG_SAME_SRC_FIRST
+        o_node = np.where(flag1, src[R], dst[L])
+        d_node = np.where(flag1, dst[L], src[R])
+
+        # ---- sp attach from the broadcast demand table ----
+        spd = sp_bc.value
+        n_rows = len(L)
+        cost = np.full(n_rows, np.inf)
+        path_speed = np.zeros(n_rows)
+        pcx = np.zeros(n_rows); pcy = np.zeros(n_rows)
+        pw = np.zeros(n_rows); pn_path = np.zeros(n_rows, dtype=np.int64)
+        has_path = np.zeros(n_rows, dtype=bool)
+        memo = {}
+        for i in range(n_rows):
+            k = (int(o_node[i]), int(d_node[i]))
+            v = memo.get(k)
+            if v is None:
+                v = spd.get(k)
+                memo[k] = v if v is not None else False
+            if v:
+                cost[i], path_speed[i], pcx[i], pcy[i], pw[i], pn_path[i], ep = v
+                has_path[i] = ep is not None and len(ep) > 0
+            elif v is False or v is None:
+                pass
+        d_euc = lpdf.d_euc.to_numpy()[K]
+        move_dir = lpdf.move_dir.to_numpy()[K]
+
+        avg_speed, d_sht, dist_prob, _ = hmm.score_base_np(
+            cost, step_0_len, step_n_len, speed[L], speed[R], path_speed,
+            flag, dist_0, d_euc)
+        if dir_trans:
+            dir_prob = engine_dir_probs(
+                stats_bc.value, e0, segi[L].astype(np.int64), rat[L],
+                e1, segi[R].astype(np.int64), rat[R],
+                approx, flag1, has_path, pcx, pcy, pw, pn_path, move_dir)
+            trans_prob = dist_prob * dir_prob
+        else:
+            trans_prob = dist_prob
+
+        gt = pd.DataFrame({
+            "pid_0": lpdf.pid_0.to_numpy()[K], "eid_0": e0, "eid_1": e1,
+            "flag": flag, "observ_prob": obs[R], "trans_prob": trans_prob,
+            "dist_prob": dist_prob, "d_sht": d_sht, "avg_speed": avg_speed,
+            "o_node": o_node, "d_node": d_node})
+        end_prob, rlist = hmm.viterbi_beam(cpdf, gt, cfg)
+        res = hmm.stitch_path(
+            rlist, gt, cpdf, end_prob, cfg, dir_trans,
+            epath_lookup=lambda o, d: (spd.get((o, d)) or (None,) * 7)[6])
+        base.update(res)
+        return pd.DataFrame([base])
+
+    return (cands.groupBy("url")
+            .cogroup(points.select("url", "pid", "x", "y").groupBy("url"))
+            .applyInPandas(fn, schema=MATCHED_SCHEMA))
+
+
 def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
-                cfg: MatchConfig = MatchConfig(), broadcast_index: bool = True) -> DataFrame:
+                cfg: MatchConfig = MatchConfig(), broadcast_index: bool = True,
+                fused: bool = True) -> DataFrame:
     """pages -> matched, one row per url (SURVEY.md §1.2 result schema).
+
+    fused=True (default) runs pair-build/scoring/Viterbi in one cogrouped
+    stage (the transition-pair table never shuffles); fused=False keeps
+    every stage a separate relational operator — same kernels, same
+    numbers, useful for stage-level inspection and as the template for
+    planet-scale variants where the sp table cannot broadcast.
 
     Urls whose trajectories produce no candidates anywhere (including
     out-of-bbox, status 3) are re-attached via a left-anti join — the
@@ -240,32 +402,49 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     trajs = extract_trajs(pages)
     points = simplify_trajs(trajs, cfg).persist()
     cell_index, edge_attrs = network_frames(spark, net)
-    cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index).persist()
+    cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
+                           net=net, slim=fused).persist()
 
-    pairs = build_pairs_df(cands, points, cfg).persist()
-    demands = pairs.select("o_node", "d_node")
-    sp = shortest_path_table(spark, demands, net, cfg).persist()
-    scored = score_pairs_df(spark, pairs, sp, net, cfg)
+    if fused:
+        demands = sp_demands(cands, edge_attrs)
+        sp = shortest_path_table(spark, demands, net, cfg).persist()
+        matched = fused_match(spark, cands, points, sp, net, cfg)
+        pairs = None
+    else:
+        pairs = build_pairs_df(cands, points, cfg).persist()
+        demands = pairs.select("o_node", "d_node")
+        sp = shortest_path_table(spark, demands, net, cfg).persist()
+        scored = score_pairs_df(spark, pairs, sp, net, cfg)
 
-    # demand-bounded path map for stitch (the sp table is already collected
-    # for the broadcast join; at planet scale swap for a post-Viterbi
-    # relational epath attach instead)
-    sp_paths = spark.sparkContext.broadcast({
-        (int(r.o_node), int(r.d_node)): list(r.epath) if r.epath is not None else None
-        for r in sp.select("o_node", "d_node", "epath")
-                   .filter(F.col("epath").isNotNull()).collect()})
-
-    matched = viterbi_match(cands, scored, cfg, sp_paths)
+        # demand-bounded path map for stitch (the sp table is already
+        # collected for the broadcast join; at planet scale swap for a
+        # post-Viterbi relational epath attach instead)
+        sp_paths = spark.sparkContext.broadcast({
+            (int(r.o_node), int(r.d_node)): list(r.epath) if r.epath is not None else None
+            for r in sp.select("o_node", "d_node", "epath")
+                       .filter(F.col("epath").isNotNull()).collect()})
+        matched = viterbi_match(cands, scored, cfg, sp_paths)
 
     # matched urls == candidate urls (cogroup keys), so anti-join against
     # the *persisted* cands — referencing `matched` here would make the
     # expensive cogroup branch compute twice per action
-    no_cands = (points.select("url").distinct()
-                .join(cands.select("url"), "url", "left_anti")
-                .select("url",
-                        F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
-                        F.lit(None).cast("array<long>").alias("epath"),
-                        *[F.lit(None).cast("double").alias(c) for c in
-                          ("step_0", "step_n", "dist", "avg_speed", "prob",
-                           "norm_prob", "dist_prob", "trans_prob", "dir_prob")]))
-    return matched.unionByName(no_cands)
+    if fused:
+        # the cogroup's points side already yields status-3 rows for urls
+        # with no candidates anywhere
+        out = matched.persist()
+    else:
+        no_cands = (points.select("url").distinct()
+                    .join(cands.select("url"), "url", "left_anti")
+                    .select("url",
+                            F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
+                            F.lit(None).cast("array<long>").alias("epath"),
+                            *[F.lit(None).cast("double").alias(c) for c in
+                              ("step_0", "step_n", "dist", "avg_speed", "prob",
+                               "norm_prob", "dist_prob", "trans_prob", "dir_prob")]))
+        out = matched.unionByName(no_cands).persist()
+    out.count()  # materialize, then release the intermediate caches —
+    # leaving them pinned degrades successive runs via eviction churn
+    for df in (points, cands, pairs, sp):
+        if df is not None:
+            df.unpersist()
+    return out

@@ -97,4 +97,4 @@ def knn_edges(spark: SparkSession, points: DataFrame, net: Network,
     from .candidates import candidate_join, network_frames
     idx, attrs = network_frames(spark, net)
     c = cfg if k is None else MatchConfig(**{**cfg.__dict__, "top_k": k})
-    return candidate_join(points, idx, attrs, c)
+    return candidate_join(points, idx, attrs, c, net=net)

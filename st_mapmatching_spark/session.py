@@ -31,5 +31,10 @@ def get_spark(cores: int | str = "*", app: str = "st_mapmatching_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode funnels every shuffle through one host disk — that
+        # shared bottleneck caps core-scaling and does not exist on a real
+        # cluster (per-executor disks). tmpfs restores the cluster-like
+        # behavior for the local[8]-vs-local[32] scaling proxy.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .getOrCreate()
     )

@@ -33,7 +33,7 @@ def test_candidates_parity(spark, pages_df, pages, net, cfg):
     trajs = extract_trajs(pages_df)
     points = simplify_trajs(trajs, cfg)
     idx, attrs = network_frames(spark, net)
-    got = (candidate_join(points, idx, attrs, cfg)
+    got = (candidate_join(points, idx, attrs, cfg, net=net)
            .select("url", "pid", "eid", "dist_p2c", "len0", "len1", "observ_prob")
            .toPandas().sort_values(["url", "pid", "eid"]).reset_index(drop=True))
 
