@@ -80,16 +80,14 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     n_trajs = pages.count()                         # materialize input
 
     # steady-state: one warm-up (codegen/broadcast compile once per cluster
-    # lifetime — amortized at 100 TB), then best of 2 timed runs
+    # lifetime — amortized at 100 TB), then one timed run
     df = match_pages(spark, pages, entry._net(), entry.CFG)
     df.count(); df.unpersist()
-    t_match = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        df = match_pages(spark, pages, entry._net(), entry.CFG)
-        df.count()
-        t_match = min(t_match, time.perf_counter() - t0)
-        df.unpersist()
+    t0 = time.perf_counter()
+    df = match_pages(spark, pages, entry._net(), entry.CFG)
+    df.count()
+    t_match = time.perf_counter() - t0
+    df.unpersist()
 
     pts = points.select("url", "pid", "x", "y").persist()
     n_pts = pts.count()
