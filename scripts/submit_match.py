@@ -24,7 +24,12 @@ tables and a rerun skips finished work (plans/lineage.py).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# running as `python scripts/submit_match.py` puts scripts/ on sys.path,
+# not the repo root; spark-submit --py-files provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
