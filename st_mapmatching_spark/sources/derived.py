@@ -83,28 +83,43 @@ def grid_network(cfg: MatchConfig | None = None):
 # derived points: Spark side
 # ---------------------------------------------------------------------------
 
+# snake-walk constants: trajectories follow a boustrophedon route over the
+# grid's horizontal rows joined by the right/left edge connectors, so the
+# derived points are genuinely road-following (map matching succeeds) while
+# staying a pure closed form both engines evaluate identically.
+ROW_LEN = (G - 1) * S          # 2000 m per row
+BLOCK = ROW_LEN + S            # row + connector
+SNAKE_LEN = (G - 1) * BLOCK + ROW_LEN   # s in [0, SNAKE_LEN)
+STEP_M = 40.0                  # along-route spacing between points
+A_USER = 9973                  # per-user start offset mixer
+
+
 def derive_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> points(url, pid, x, y, t_epoch); metric coords on the grid."""
+    """events -> points(url, pid, x, y, t_epoch); metric coords following
+    the deterministic snake route over the grid, +-20 m lateral noise."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     e = F.col("event_id").cast("long")
+    u = F.col("user_id").cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pid = (F.row_number().over(w) - 1).cast("int")
 
-    eidx = (e * A_EDGE) % N_EDGES
-    base = eidx % N_ONEWAY
-    horiz = base < G * (G - 1)
-    hi, hj = base % (G - 1), F.floor(base / (G - 1))
-    vb = base - G * (G - 1)
-    vi, vj = F.floor(vb / (G - 1)), vb % (G - 1)
-    x0 = F.when(horiz, X0 + hi * S).otherwise(X0 + vi * S)
-    y0 = F.when(horiz, X0 + hj * S).otherwise(X0 + vj * S)
-    t = ((e * A_T) % 1001) / F.lit(1000.0)
-    s_off = (((e * A_S) % 81) - 40) / F.lit(40.0) * F.lit(30.0)
-    px = F.when(horiz, x0 + F.lit(S) * t).otherwise(x0 + s_off)
-    py = F.when(horiz, y0 + s_off).otherwise(y0 + F.lit(S) * t)
+    s = ((u * A_USER) % F.lit(int(SNAKE_LEN)) + pid.cast("long") * F.lit(int(STEP_M))) \
+        % F.lit(int(SNAKE_LEN))
+    s = s.cast("double")
+    block = F.floor(s / F.lit(BLOCK)).cast("long")
+    within = s - block.cast("double") * F.lit(BLOCK)
+    on_row = within <= F.lit(ROW_LEN)
+    even = block % 2 == 0
+    y_row = F.lit(X0) + block.cast("double") * F.lit(S)
+    x_on_row = F.when(even, F.lit(X0) + within).otherwise(F.lit(-X0) - within)
+    lat = (((e * A_S) % 81) - 40) / F.lit(40.0) * F.lit(20.0)   # +-20 m noise
+    px = F.when(on_row, x_on_row).otherwise(F.when(even, F.lit(-X0)).otherwise(F.lit(X0))) \
+        + F.when(on_row, F.lit(0.0)).otherwise(lat)
+    py = F.when(on_row, y_row + lat).otherwise(y_row + (within - F.lit(ROW_LEN)))
 
     return ev.select(
         F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("url"),
-        (F.row_number().over(w) - 1).cast("int").alias("pid"),
+        pid.alias("pid"),
         px.alias("x"), py.alias("y"),
         # parquet ts is TIMESTAMP_NTZ; with session TZ pinned to UTC this
         # equals DuckDB's epoch_ms(ts)
@@ -130,24 +145,38 @@ def replicate_points(points: DataFrame, mult: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 POINTS_CTE = f"""
-points AS (
+points_base AS (
   SELECT 'user_' || CAST(user_id AS VARCHAR) AS url,
          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS pid,
-         CASE WHEN ((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} < {G * (G - 1)}
-              THEN ({X0!r} + (((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY}) % {G - 1} * {S!r})
-                   + {S!r} * (((CAST(event_id AS BIGINT) * {A_T}) % 1001) / 1000.0)
-              ELSE ({X0!r} + ((((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} - {G * (G - 1)}) // {G - 1}) * {S!r})
-                   + ((((CAST(event_id AS BIGINT) * {A_S}) % 81) - 40) / 40.0 * 30.0)
-         END AS x,
-         CASE WHEN ((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} < {G * (G - 1)}
-              THEN ({X0!r} + ((((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY}) // {G - 1}) * {S!r})
-                   + ((((CAST(event_id AS BIGINT) * {A_S}) % 81) - 40) / 40.0 * 30.0)
-              ELSE ({X0!r} + ((((CAST(event_id AS BIGINT) * {A_EDGE}) % {N_EDGES}) % {N_ONEWAY} - {G * (G - 1)}) % {G - 1}) * {S!r})
-                   + {S!r} * (((CAST(event_id AS BIGINT) * {A_T}) % 1001) / 1000.0)
-         END AS y,
-         epoch_ms(ts) AS t_ms,
-         CAST(event_id AS BIGINT) AS event_id
+         CAST(user_id AS BIGINT) AS uid,
+         CAST(event_id AS BIGINT) AS event_id,
+         epoch_ms(ts) AS t_ms
   FROM events
+),
+points_s AS (
+  SELECT url, pid, event_id, t_ms,
+         CAST(((uid * {A_USER}) % {int(SNAKE_LEN)}
+               + CAST(pid AS BIGINT) * {int(STEP_M)}) % {int(SNAKE_LEN)} AS DOUBLE) AS s,
+         ((event_id * {A_S}) % 81 - 40) / 40.0 * 20.0 AS lat
+  FROM points_base
+),
+points_b AS (
+  SELECT url, pid, event_id, t_ms, s, lat,
+         CAST(floor(s / {BLOCK!r}) AS BIGINT) AS block,
+         s - CAST(CAST(floor(s / {BLOCK!r}) AS BIGINT) AS DOUBLE) * {BLOCK!r} AS within
+  FROM points_s
+),
+points AS (
+  SELECT url, pid,
+         (CASE WHEN within <= {ROW_LEN!r}
+               THEN CASE WHEN block % 2 = 0 THEN {X0!r} + within ELSE {-X0!r} - within END
+               ELSE CASE WHEN block % 2 = 0 THEN {-X0!r} ELSE {X0!r} END END)
+         + (CASE WHEN within <= {ROW_LEN!r} THEN 0.0 ELSE lat END) AS x,
+         (CASE WHEN within <= {ROW_LEN!r}
+               THEN ({X0!r} + CAST(block AS DOUBLE) * {S!r}) + lat
+               ELSE ({X0!r} + CAST(block AS DOUBLE) * {S!r}) + (within - {ROW_LEN!r}) END) AS y,
+         t_ms, event_id
+  FROM points_b
 )
 """
 
