@@ -99,6 +99,7 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
                                           [bx0 + 550, by0 + 550], [bx0, by0 + 550],
                                           [bx0, by0]]))
     tiles = pd.DataFrame(rows, columns=["tile_id", "res", "polygon"])
+    assign_tiles(spark, pts, tiles, entry.CFG).count()  # warm-up
     t0 = time.perf_counter()
     n_assign = assign_tiles(spark, pts, tiles, entry.CFG).count()
     t_tiles = time.perf_counter() - t0
