@@ -358,6 +358,26 @@ def q_sim_lsh(spark, sf):
             .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cos_r")))
 
 
+def q_sim_ivf(spark, sf):
+    from st_mapmatching_spark.operators.similarity import ivf_topk
+    emb = _emb(spark, sf)
+    return (ivf_topk(spark, emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
+                     n_centroids=8, n_probe=4)
+            .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cos_r")))
+
+
+def q_eval_lcss(spark, sf):
+    """Post-match trajectory-similarity eval (SURVEY.md §2.11)."""
+    from st_mapmatching_spark.operators.candidates import extract_trajs, simplify_trajs
+    from st_mapmatching_spark.operators.matching import match_pages
+    from st_mapmatching_spark.operators.metrics import eval_similarity
+    pages = _render_pages(_pts(spark, sf))
+    matched = match_pages(spark, pages, _net(), CFG)
+    points = simplify_trajs(extract_trajs(pages), CFG)
+    return (eval_similarity(spark, matched, points, _net(), CFG, metric="lcss")
+            .select("url", F.round("metric_value", 6).alias("lcss_r")))
+
+
 def q_mm_features(spark, sf):
     from st_mapmatching_spark.operators.multimodal import extract_media_features
     media = _docs(spark, sf).select(
@@ -408,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh": q_sim_lsh,
+        "sim_ivf": q_sim_ivf,
+        "eval_lcss": q_eval_lcss,
         "mm_features": q_mm_features,
     }
 

@@ -45,6 +45,72 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "c_id", "cosine", "rank"))
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Driver-side Lloyd iterations on a sample — centroids for IVF."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = sample[m].mean(0)
+    return cent
+
+
+def ivf_assign(spark: SparkSession, embeddings: DataFrame, centroids: np.ndarray,
+               n_probe: int = 1, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, centroid) rows; n_probe>1 emits that many nearest lists
+    (query-side multi-probe)."""
+    import pandas as pd
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def op(batches):
+        cent = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            near = np.argsort(d, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({id_col: ids, "centroid": near.ravel()})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, centroid int")
+
+
+def ivf_topk(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
+             dim: int, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             iters: int = 5, seed: int = 42, sample_n: int = 2000,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: kmeans-lite centroids on a driver sample,
+    corpus partitioned by nearest centroid (one list each), queries probe
+    their n_probe nearest lists, exact cosine re-rank inside. The standard
+    scale path next to LSH; coarse quantizer quality is bounded by the
+    sample, which is the usual IVF tradeoff."""
+    sample = np.vstack(embeddings.select(vec_col).limit(sample_n)
+                       .toPandas()[vec_col].to_numpy()).astype(np.float64)
+    cent = _kmeans_lite(sample, n_centroids, iters, seed)
+
+    c_assign = ivf_assign(spark, embeddings, cent, 1, id_col, vec_col)
+    q_assign = ivf_assign(spark, queries, cent, n_probe, id_col, vec_col)
+
+    c = embeddings.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")) \
+        .join(c_assign.withColumnRenamed(id_col, "c_id"), "c_id")
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")) \
+        .join(q_assign.withColumnRenamed(id_col, "q_id"), "q_id")
+
+    cand = (c.join(F.broadcast(q), "centroid")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .dropDuplicates(["q_id", "c_id"]))
+    scored = cand.withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "cosine", "rank"))
+
+
 def _plane_matrix(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, n_planes))
 
