@@ -102,7 +102,8 @@ def network_frames(spark: SparkSession, net: Network):
 def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFrame,
                    cfg: MatchConfig, broadcast_index: bool = True,
                    net: Network | None = None,
-                   padded_geoms=None, slim: bool = False) -> DataFrame:
+                   padded_geoms=None, slim: bool = False,
+                   salt_hot_cells: int = 0, hot_threshold: int = 1000) -> DataFrame:
     """points(url,pid,x,y metric) x edges -> candidates with projection.
 
     Plan: explode each point's +-radius box into its <= 4 cover cells
@@ -125,9 +126,32 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                .withColumn("cell", cell_col(F.col("ix"), F.col("iy")))
                .drop("ix", "iy"))
 
-    idx = F.broadcast(cell_index) if broadcast_index else cell_index
-    pairs = (covered.join(idx, "cell")
-             .select("url", "pid", "x", "y", "eid"))
+    if broadcast_index:
+        # broadcast join: no shuffle, so cell skew cannot concentrate work
+        pairs = (covered.join(F.broadcast(cell_index), "cell")
+                 .select("url", "pid", "x", "y", "eid"))
+    elif salt_hot_cells > 1:
+        # shuffle join with explicit hot-cell salting (north_rule): dense
+        # urban cells would otherwise pin all their points onto one
+        # partition. Hot cells (by point count) split across k salts; the
+        # index side replicates only those cells' rows k times.
+        k = salt_hot_cells
+        hot = [r.cell for r in (covered.groupBy("cell").count()
+                                .filter(F.col("count") >= hot_threshold)
+                                .select("cell").collect())]
+        hot_lit = F.array(*[F.lit(c) for c in hot]) if hot else F.array(F.lit(-1))
+        p_salt = F.when(F.array_contains(hot_lit, F.col("cell")),
+                        F.pmod(F.xxhash64("url", "pid"), F.lit(k))).otherwise(F.lit(0))
+        covered_s = covered.withColumn("salt", p_salt.cast("int"))
+        idx_s = (cell_index.withColumn(
+            "salt", F.explode(F.when(F.array_contains(hot_lit, F.col("cell")),
+                                     F.sequence(F.lit(0), F.lit(k - 1)))
+                              .otherwise(F.array(F.lit(0))))).withColumn("salt", F.col("salt").cast("int")))
+        pairs = (covered_s.join(idx_s, ["cell", "salt"])
+                 .select("url", "pid", "x", "y", "eid"))
+    else:
+        pairs = (covered.join(cell_index, "cell")
+                 .select("url", "pid", "x", "y", "eid"))
 
     cands = pairs if slim else pairs.join(F.broadcast(edge_attrs), "eid")
 

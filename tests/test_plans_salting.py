@@ -1,0 +1,55 @@
+"""Physical-plan regression checks + salted shuffle-join equivalence."""
+
+import re
+
+import pytest
+
+from st_mapmatching_spark.operators.candidates import (candidate_join,
+                                                       extract_trajs,
+                                                       network_frames,
+                                                       simplify_trajs)
+
+
+@pytest.fixture(scope="module")
+def points(spark, pages, cfg):
+    return simplify_trajs(extract_trajs(spark.createDataFrame(pages)), cfg).persist()
+
+
+def _plan(df, spark):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_candidate_plan_properties(spark, points, net, cfg):
+    idx, attrs = network_frames(spark, net)
+    plan = _plan(candidate_join(points, idx, attrs, cfg, net=net), spark)
+    # the cell index join must be broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan
+    # Spark pushes the top-k rank limit into the shuffle
+    assert "WindowGroupLimit" in plan
+    # radius filter happens before the windows
+    assert "dist_p2c" in plan
+
+
+def test_extract_scan_pruned(spark, pages, tmp_path):
+    p = str(tmp_path / "pages")
+    spark.createDataFrame(pages).write.parquet(p)
+    df = extract_trajs(spark.read.parquet(p))
+    plan = _plan(df, spark)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"url", "text"}, f"scan not pruned: {cols}"
+
+
+def test_salted_shuffle_join_same_results(spark, points, net, cfg):
+    idx, attrs = network_frames(spark, net)
+    base = (candidate_join(points, idx, attrs, cfg, net=net)
+            .select("url", "pid", "eid", "dist_p2c").toPandas()
+            .sort_values(["url", "pid", "eid"]).reset_index(drop=True))
+    salted = (candidate_join(points, idx, attrs, cfg, broadcast_index=False,
+                             net=net, salt_hot_cells=4, hot_threshold=2)
+              .select("url", "pid", "eid", "dist_p2c").toPandas()
+              .sort_values(["url", "pid", "eid"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, salted)
