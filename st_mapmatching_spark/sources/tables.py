@@ -1,0 +1,52 @@
+"""Table IO with Iceberg support behind a capability probe.
+
+The north rule targets Iceberg tables of web pages. This container has no
+Iceberg runtime jars (environment constraint: stub connectors behind an
+import-try), so the IO layer probes for the Iceberg data source and falls
+back to plain parquet with identical call sites. On a real cluster, add
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<ver>
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hadoop
+    --conf spark.sql.catalog.lake.warehouse=s3://bucket/warehouse
+
+and pass table identifiers like `lake.db.pages` to these helpers. The
+lineage/resume layer (plans/lineage.py) maps onto Iceberg snapshots
+naturally: each bucket commit becomes an append snapshot and the lineage
+table an Iceberg audit table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _looks_like_table_ident(path: str) -> bool:
+    return "/" not in path and "." in path
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an Iceberg table identifier (catalog.db.table) when the runtime
+    is present, else a parquet path."""
+    if _looks_like_table_ident(path) and iceberg_available(spark):
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if _looks_like_table_ident(path) and iceberg_available(df.sparkSession):
+        w.format("iceberg").saveAsTable(path)
+    else:
+        w.parquet(path)
