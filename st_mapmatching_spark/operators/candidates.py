@@ -89,6 +89,34 @@ def simplify_trajs(trajs: DataFrame, cfg: MatchConfig) -> DataFrame:
     return pts.groupBy("url").applyInPandas(op, schema=POINTS_SCHEMA)
 
 
+def extract_simplify(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """pages -> simplified metric points in ONE Arrow stage with NO shuffle:
+    a page row carries its whole trajectory (url is the table's primary
+    key), so extraction, projection, and per-trajectory Douglas-Peucker all
+    happen inside the same batch. Output: (url, pid, x, y) metric."""
+    lon0, lat0, tolerance = cfg.lon0, cfg.lat0, cfg.tolerance
+    do_simplify = cfg.simplify
+
+    def op(batches):
+        from ..kernels.projection import project_coords
+        for pdf in batches:
+            pts = extract_points(pdf)
+            if len(pts) == 0:
+                continue
+            outs = []
+            for url, grp in pts.groupby("url", sort=False):
+                xy = project_coords(grp[["x", "y"]].to_numpy(), lon0, lat0)
+                idx = (simplify_points(xy, tolerance)
+                       if do_simplify and len(xy) > 1 else np.arange(len(xy)))
+                kept = xy[idx]
+                outs.append(pd.DataFrame({
+                    "url": url, "pid": np.arange(len(idx), dtype=np.int32),
+                    "x": kept[:, 0], "y": kept[:, 1]}))
+            yield pd.concat(outs, ignore_index=True)
+
+    return pages.select("url", "text").mapInPandas(op, schema=POINTS_SCHEMA)
+
+
 def network_frames(spark: SparkSession, net: Network):
     """(cell_index_df, edge_attrs_df) as Spark DataFrames."""
     idx = spark.createDataFrame(net.cell_index())

@@ -25,7 +25,8 @@ from ..config import MatchConfig
 from ..functions.geo_cols import bearing_col
 from ..graph.network import Network
 from ..kernels import hmm
-from .candidates import candidate_join, extract_trajs, network_frames, simplify_trajs
+from .candidates import (candidate_join, extract_simplify, extract_trajs,
+                         network_frames, simplify_trajs)
 from .shortest_paths import shortest_path_table
 
 MATCHED_SCHEMA = ("url string, status int, epath array<long>, step_0 double, "
@@ -399,8 +400,7 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     out-of-bbox, status 3) are re-attached via a left-anti join — the
     engine's non-throwing version of the reference's bbox assert
     (matching.py:155-168)."""
-    trajs = extract_trajs(pages)
-    points = simplify_trajs(trajs, cfg).persist()
+    points = extract_simplify(pages, cfg).persist()
     cell_index, edge_attrs = network_frames(spark, net)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused).persist()
