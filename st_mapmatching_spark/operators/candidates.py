@@ -103,16 +103,26 @@ def extract_simplify(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
             pts = extract_points(pdf)
             if len(pts) == 0:
                 continue
-            outs = []
-            for url, grp in pts.groupby("url", sort=False):
-                xy = project_coords(grp[["x", "y"]].to_numpy(), lon0, lat0)
+            # points arrive grouped (extract sorts by url): slice per page,
+            # assemble one frame at the end (per-group DataFrames are the
+            # measured overhead at millions of pages)
+            xy_all = project_coords(pts[["x", "y"]].to_numpy(), lon0, lat0)
+            u = pts.url.to_numpy()
+            bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+            keep_parts, urls, counts = [], [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                xy = xy_all[s:e]
                 idx = (simplify_points(xy, tolerance)
                        if do_simplify and len(xy) > 1 else np.arange(len(xy)))
-                kept = xy[idx]
-                outs.append(pd.DataFrame({
-                    "url": url, "pid": np.arange(len(idx), dtype=np.int32),
-                    "x": kept[:, 0], "y": kept[:, 1]}))
-            yield pd.concat(outs, ignore_index=True)
+                keep_parts.append(s + idx)
+                urls.append(u[s])
+                counts.append(len(idx))
+            keep = np.concatenate(keep_parts)
+            counts = np.array(counts)
+            yield pd.DataFrame({
+                "url": np.repeat(np.array(urls, dtype=object), counts),
+                "pid": np.concatenate([np.arange(c, dtype=np.int32) for c in counts]),
+                "x": xy_all[keep, 0], "y": xy_all[keep, 1]})
 
     return pages.select("url", "text").mapInPandas(op, schema=POINTS_SCHEMA)
 
