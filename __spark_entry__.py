@@ -316,7 +316,10 @@ def q_match_grid(spark, sf):
     from st_mapmatching_spark.operators.matching import match_pages
     pages = _render_pages(_pts(spark, sf))
     m = match_pages(spark, pages, _net(), CFG)
-    return m.select("url", "status", "epath",
+    # epath is serialized to a scalar string: the gate canonicalizer sorts
+    # and hashes column values, and array cells are unhashable
+    return m.select("url", "status",
+                    F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"),
                     F.round("step_0", 6).alias("step_0_r"),
                     F.round("norm_prob", 6).alias("norm_prob_r"))
 
@@ -502,9 +505,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_rasterize": f"""WITH {pts}
             SELECT {cell_xy} AS cell, count(*) AS n_points FROM points p GROUP BY 1""",
 
+        # CAST: DuckDB's integer sum() is HUGEINT (surfaces as float64 in
+        # pandas) while Spark's is BIGINT — same values, different hash
         "geo_bbox_filter": f"""WITH {pts}
             SELECT url,
-                   sum(CASE WHEN x >= -500 AND x < 500 AND y >= -500 AND y < 500 THEN 1 ELSE 0 END) AS n_inside,
+                   CAST(sum(CASE WHEN x >= -500 AND x < 500 AND y >= -500 AND y < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
                    count(*) AS n_total
             FROM points GROUP BY url""",
 
@@ -523,8 +528,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
         "rel_anti_join": """
-            SELECT c_custkey FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
 
         "rel_degree": """
             SELECT c.c_custkey, coalesce(o.n, 0) AS n_orders
