@@ -54,6 +54,16 @@ class MatchConfig:
     # cell grid (replaces the GeoPandas STRtree; new engineering)
     cell_size: float = 64.0         # meters; >= radius keeps covers tiny
 
+    # scale switch: the demand-driven sp table is broadcast into the fused
+    # matcher only below this row count; above it the pipeline falls back
+    # to the relational path (sp equi-join + post-Viterbi epath attach)
+    # with zero driver-side collection of the table
+    sp_broadcast_max_rows: int = 2_000_000
+
+    # decode strategy (matching.py:64, viterbi.py:200-246): beam_search=True
+    # is the reference default; False runs the classic full-lattice Viterbi
+    beam_search: bool = True
+
     # projection origin (lon, lat) — pinned per network
     lon0: float = 114.0
     lat0: float = 22.5

@@ -389,13 +389,22 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
 
 def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
                 end_prob: float, cfg: MatchConfig = MatchConfig(),
-                dir_trans: bool = True, epath_lookup=None) -> dict:
+                dir_trans: bool = True, epath_lookup=None,
+                collect_steps: bool = False) -> dict:
     """Assemble the final matched path + metrics (postprocess.py:13-97).
 
     ``gt`` carries either an ``epath`` column (oracle path) or
     (o_node, d_node, flag) + ``epath_lookup(o, d) -> list|None`` (engine
     path — nested path arrays never ride through Arrow; they are fetched
-    from the broadcast sp table only for the <=L chosen steps)."""
+    from the broadcast sp table only for the <=L chosen steps).
+
+    ``collect_steps=True`` is the planet-scale variant: instead of looking
+    paths up it returns ``steps`` = [(o_node, d_node, need_path, eid), ...]
+    plus ``last_eid`` and leaves status=STATUS_UNKNOWN; a downstream
+    relational stage joins the sp table, assembles + consecutive-dedups the
+    epath and finalizes status (operators.matching.attach_epath_relational).
+    All scalar metrics are computed here either way — they never depend on
+    the expanded path contents."""
     res = {"status": STATUS_UNKNOWN, "epath": None, "step_0": np.nan, "step_n": np.nan,
            "dist": np.nan, "avg_speed": np.nan, "prob": end_prob,
            "norm_prob": np.nan, "dist_prob": np.nan, "trans_prob": np.nan,
@@ -433,6 +442,16 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
     g_speed = gt.avg_speed.to_numpy(dtype=np.float64)[rows]
     g_distp = gt.dist_prob.to_numpy(dtype=np.float64)[rows]
     g_transp = gt.trans_prob.to_numpy(dtype=np.float64)[rows]
+    if collect_steps:
+        g_flag = gt.flag.to_numpy()[rows]
+        g_o = gt.o_node.to_numpy()[rows]
+        g_d = gt.d_node.to_numpy()[rows]
+        res["steps"] = [(int(o), int(d), int(f) != FLAG_SAME_SRC_FIRST, int(k[1]))
+                        for o, d, f, k in zip(g_o, g_d, g_flag, keys)]
+        res["last_eid"] = int(r_eid[-1])
+        _stitch_metrics(res, g_dsht, g_speed, g_distp, g_transp, end_prob,
+                        len(keys), dir_trans)
+        return res  # status stays STATUS_UNKNOWN: finalized relationally
     if "epath" in gt.columns:
         g_ep = gt.epath.to_numpy(dtype=object)[rows]
     else:
@@ -457,13 +476,22 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
         res["status"] = STATUS_FAILED if end_prob < cfg.prob_thres else STATUS_SAME_LINK
         return res
 
-    d_sht = g_dsht
-    res["dist"] = float(d_sht.sum())
-    with np.errstate(invalid="ignore"):
-        res["avg_speed"] = float(np.average(g_speed, weights=d_sht)) \
-            if d_sht.sum() > 0 else float("nan")
+    _stitch_metrics(res, g_dsht, g_speed, g_distp, g_transp, end_prob,
+                    len(keys), dir_trans)
+    res["status"] = STATUS_FAILED if res["trans_prob"] < cfg.prob_thres else STATUS_SUCCESS
+    return res
 
-    coef = 1.0 / len(keys)
+
+def _stitch_metrics(res: dict, g_dsht, g_speed, g_distp, g_transp,
+                    end_prob: float, n_steps: int, dir_trans: bool) -> None:
+    """dist / avg_speed / geometric-mean probabilities over the chosen steps
+    (postprocess.py:60-85) — independent of the expanded path contents."""
+    res["dist"] = float(g_dsht.sum())
+    with np.errstate(invalid="ignore"):
+        res["avg_speed"] = float(np.average(g_speed, weights=g_dsht)) \
+            if g_dsht.sum() > 0 else float("nan")
+
+    coef = 1.0 / n_steps
     dist_prob = float(np.prod(g_distp))
     trans_prob = float(np.prod(g_transp))
     res["norm_prob"] = float(np.power(end_prob, coef))
@@ -471,6 +499,3 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
     res["trans_prob"] = float(np.power(trans_prob, coef))
     if dir_trans:
         res["dir_prob"] = res["trans_prob"] / res["dist_prob"] if res["dist_prob"] else float("nan")
-
-    res["status"] = STATUS_FAILED if res["trans_prob"] < cfg.prob_thres else STATUS_SUCCESS
-    return res

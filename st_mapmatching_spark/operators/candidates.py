@@ -127,6 +127,48 @@ def extract_simplify(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
     return pages.select("url", "text").mapInPandas(op, schema=POINTS_SCHEMA)
 
 
+REHYDRATE_SCHEMA = ("url string, pid int, x double, y double, eid long, "
+                    "dist_p2c double, observ_prob double, src long, dst long, "
+                    "dist double, speed double, len0 double, len1 double, "
+                    "seg_idx int, ratio double")
+
+
+def rehydrate_cands(cands_slim: DataFrame, net: Network) -> DataFrame:
+    """Slim candidates (url,pid,x,y,eid,dist_p2c,observ_prob) -> full
+    candidate columns, re-derived from the broadcast network in one
+    shuffle-free Arrow pass (same project_core the refine ran, so the cut
+    parameters are bitwise-identical). Used when the fused matcher's sp
+    broadcast would not fit and the pipeline falls back to the relational
+    path, which needs edge attrs and cut params as real columns."""
+    import pyarrow as pa
+    bc = cands_slim.sparkSession.sparkContext.broadcast(
+        (*net.padded_geoms(), *net.attr_arrays()))
+
+    def op(batches):
+        eids_sorted, mat, src_a, dst_a, dist_a, speed_a = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            x = col["x"].to_numpy(zero_copy_only=False)
+            y = col["y"].to_numpy(zero_copy_only=False)
+            eid = col["eid"].to_numpy(zero_copy_only=False)
+            di = np.searchsorted(eids_sorted, eid)
+            pr = project_core(np.stack([x, y], axis=1), mat[di])
+            order = ["url", "pid", "x", "y", "eid", "dist_p2c", "observ_prob"]
+            arrays = [col[n] for n in order]
+            arrays += [pa.array(src_a[di]), pa.array(dst_a[di]),
+                       pa.array(dist_a[di]), pa.array(speed_a[di]),
+                       pa.array(pr["len0"]), pa.array(pr["len1"]),
+                       pa.array(pr["seg_idx"].astype(np.int32)),
+                       pa.array(pr["ratio"])]
+            yield pa.RecordBatch.from_arrays(
+                arrays, order + ["src", "dst", "dist", "speed", "len0",
+                                 "len1", "seg_idx", "ratio"])
+
+    return cands_slim.mapInArrow(op, schema=REHYDRATE_SCHEMA)
+
+
 def network_frames(spark: SparkSession, net: Network):
     """(cell_index_df, edge_attrs_df) as Spark DataFrames."""
     idx = spark.createDataFrame(net.cell_index())

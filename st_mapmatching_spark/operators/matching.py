@@ -26,12 +26,22 @@ from ..functions.geo_cols import bearing_col
 from ..graph.network import Network
 from ..kernels import hmm
 from .candidates import (candidate_join, extract_simplify, extract_trajs,
-                         network_frames, simplify_trajs)
+                         network_frames, rehydrate_cands, simplify_trajs)
 from .shortest_paths import shortest_path_table
 
 MATCHED_SCHEMA = ("url string, status int, epath array<long>, step_0 double, "
                   "step_n double, dist double, avg_speed double, prob double, "
                   "norm_prob double, dist_prob double, trans_prob double, dir_prob double")
+
+# planet-scale variant: the cogroup emits the winning transition steps
+# instead of expanded paths; attach_epath_relational joins the sp table and
+# finalizes epath + status with zero driver-side collection
+MATCHED_PRE_SCHEMA = (
+    "url string, status int, epath0 array<long>, step_0 double, "
+    "step_n double, dist double, avg_speed double, prob double, "
+    "norm_prob double, dist_prob double, trans_prob double, dir_prob double, "
+    "steps array<struct<o_node: long, d_node: long, need: boolean, eid: long>>, "
+    "last_eid long")
 
 # no `epath` here: nested arrays through Arrow cost ~10x the rest of the
 # row combined (measured); stitch fetches paths from the broadcast sp map
@@ -165,40 +175,115 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
 
 
 def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
-                  sp_paths) -> DataFrame:
+                  sp_paths=None) -> DataFrame:
     """Cogrouped per-trajectory beam Viterbi + path stitch (the stateful
     core, viterbi.py:107-154 + postprocess.py:13-97).
 
-    ``sp_paths`` is a broadcast dict {(o_node, d_node): epath list} — paths
-    are resolved only for the <=L winning steps per trajectory instead of
-    shipping nested arrays through the cogroup shuffle."""
-    cands_min = cands.select("url", "pid", "eid", "src", "dst",
+    ``sp_paths`` (optional) is a broadcast dict {(o_node, d_node): epath
+    list} — paths are then resolved in-UDF only for the <=L winning steps
+    per trajectory instead of shipping nested arrays through the cogroup
+    shuffle. With sp_paths=None (the planet-scale default) the output is
+    MATCHED_PRE_SCHEMA: winning steps only; feed it through
+    attach_epath_relational(sp) to finalize — nothing is ever collected to
+    the driver."""
+    cands_min = cands.select("url", "pid", "eid",
                              "dist_p2c", "observ_prob", "len0", "len1")
     dir_trans = cfg.dir_trans
+    relational = sp_paths is None
 
     def fn(key, cpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
         url = key[0]
-        base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES, "epath": None,
+        base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES,
+                "epath0" if relational else "epath": None,
                 "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
                 "avg_speed": np.nan, "prob": np.nan, "norm_prob": np.nan,
                 "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
+        if relational:
+            base.update(steps=None, last_eid=None)
         if len(cpdf) == 0:
             return pd.DataFrame([base])
         if cpdf.pid.nunique() == 1:
             # single matched layer -> nearest edge (matching.py:170-178)
             best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
-            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(best.eid)])
+            base.update(status=hmm.STATUS_ONE_POINT)
+            base["epath0" if relational else "epath"] = [int(best.eid)]
             return pd.DataFrame([base])
-        paths = sp_paths.value
         end_prob, rlist = hmm.viterbi_beam(cpdf, gpdf, cfg)
-        res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
-                              epath_lookup=lambda o, d: paths.get((o, d)))
+        if relational:
+            res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
+                                  collect_steps=True)
+            if "epath" in res:
+                res["epath0"] = res.pop("epath")
+        else:
+            paths = sp_paths.value
+            res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
+                                  epath_lookup=lambda o, d: paths.get((o, d)))
         base.update(res)
         return pd.DataFrame([base])
 
     return (cands_min.groupBy("url")
             .cogroup(scored.groupBy("url"))
-            .applyInPandas(fn, schema=MATCHED_SCHEMA))
+            .applyInPandas(fn, schema=MATCHED_PRE_SCHEMA if relational
+                           else MATCHED_SCHEMA))
+
+
+def attach_epath_relational(pre: DataFrame, sp: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """MATCHED_PRE rows -> MATCHED rows with the epath assembled by a plain
+    equi-join against the sp table — the planet-scale replacement for the
+    broadcast path dict (nothing collected to the driver; the join shuffles
+    on (o_node, d_node) like any other).
+
+    Assembly mirrors hmm.stitch_path's tail exactly: full sequence =
+    [eid_i] ++ sp_epath_i per winning step (skipped for SAME_SRC_FIRST
+    steps) ++ last_eid, then consecutive-dedup; a 1-edge deduped path is
+    SAME_LINK (or FAILED below prob_thres) with the step metrics nulled
+    (postprocess.py:40-58)."""
+    empty = F.array().cast("array<long>")
+
+    steps = (pre.select("url", F.posexplode("steps").alias("pos", "st"))
+             .select("url", "pos",
+                     F.col("st.o_node").alias("o_node"),
+                     F.col("st.d_node").alias("d_node"),
+                     F.col("st.need").alias("need"),
+                     F.col("st.eid").alias("eid")))
+    att = (steps.join(sp.select("o_node", "d_node", "epath"),
+                      ["o_node", "d_node"], "left")
+           .withColumn("ep", F.when(F.col("need"),
+                                    F.coalesce(F.col("epath"), empty))
+                       .otherwise(empty)))
+    agg = (att.groupBy("url")
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "eid", "ep"))).alias("ss"))
+           .select("url",
+                   F.flatten(F.transform("ss", lambda s: F.concat(F.array(s.eid), s.ep)))
+                   .alias("mid")))
+
+    out = pre.join(agg, "url", "left")
+    full = F.concat(F.col("mid"), F.array(F.col("last_eid")))
+    dedup = F.aggregate(
+        full, empty,
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(F.element_at(acc, -1) == x, acc)
+            .otherwise(F.concat(acc, F.array(x)))))
+
+    deferred = F.col("status") == hmm.STATUS_UNKNOWN
+    epath = F.when(deferred, dedup).otherwise(F.col("epath0"))
+    out = out.withColumn("epath", epath)
+    one = F.size("epath") <= 1
+    nanlit = F.lit(float("nan"))
+    status = (F.when(~deferred, F.col("status"))
+              .when(one, F.when(F.col("prob") < cfg.prob_thres,
+                                F.lit(hmm.STATUS_FAILED))
+                    .otherwise(F.lit(hmm.STATUS_SAME_LINK)))
+              .when(F.col("trans_prob") < cfg.prob_thres, F.lit(hmm.STATUS_FAILED))
+              .otherwise(F.lit(hmm.STATUS_SUCCESS)))
+    out = out.withColumn("status_f", status.cast("int"))
+    metr = {c: F.when(deferred & one, nanlit).otherwise(F.col(c)).alias(c)
+            for c in ("dist", "avg_speed", "norm_prob", "dist_prob",
+                      "trans_prob", "dir_prob")}
+    return out.select("url", F.col("status_f").alias("status"), "epath",
+                      "step_0", "step_n", metr["dist"], metr["avg_speed"],
+                      "prob", metr["norm_prob"], metr["dist_prob"],
+                      metr["trans_prob"], metr["dir_prob"])
 
 
 def layer_links(cands: DataFrame, points: DataFrame) -> DataFrame:
@@ -238,6 +323,56 @@ def sp_demands(cands: DataFrame, edge_attrs: DataFrame) -> DataFrame:
     return dem_a.unionByName(dem_b)
 
 
+class SpPayload:
+    """Columnar shortest-path table for broadcast: (o, d) lookups are
+    vectorized numpy gathers (rank-encode o and d against their sorted
+    uniques, binary-search the composite key). Replaces the row-by-row
+    python dict — build is one toPandas, lookup is O(log n) vectorized."""
+
+    __slots__ = ("o_u", "d_u", "key", "cost", "path_speed", "pcx", "pcy",
+                 "pw", "pn", "epaths", "has_path")
+
+    def __init__(self, sp_pdf: pd.DataFrame):
+        o = sp_pdf.o_node.to_numpy(np.int64)
+        d = sp_pdf.d_node.to_numpy(np.int64)
+        self.o_u = np.unique(o)
+        self.d_u = np.unique(d)
+        key = (np.searchsorted(self.o_u, o).astype(np.int64) * len(self.d_u)
+               + np.searchsorted(self.d_u, d))
+        order = np.argsort(key)
+        self.key = key[order]
+        for c in ("cost", "path_speed", "pcx", "pcy", "pw"):
+            setattr(self, c, sp_pdf[c].to_numpy(np.float64)[order])
+        self.pn = sp_pdf.pn.to_numpy(np.int64)[order]
+        eps = sp_pdf.epath.to_numpy()[order]
+        self.epaths = eps
+        self.has_path = np.array([e is not None and len(e) > 0 for e in eps],
+                                 dtype=bool)
+
+    def locate(self, o_node: np.ndarray, d_node: np.ndarray):
+        """(positions, hit_mask) for (o, d) query arrays — pure numpy."""
+        n = len(self.key)
+        if n == 0:
+            z = np.zeros(len(o_node), dtype=np.int64)
+            return z, np.zeros(len(o_node), dtype=bool)
+        o_r = np.searchsorted(self.o_u, o_node)
+        d_r = np.searchsorted(self.d_u, d_node)
+        o_ok = (o_r < len(self.o_u)) & (self.o_u[np.minimum(o_r, len(self.o_u) - 1)] == o_node)
+        d_ok = (d_r < len(self.d_u)) & (self.d_u[np.minimum(d_r, len(self.d_u) - 1)] == d_node)
+        key_q = o_r * len(self.d_u) + d_r
+        pos = np.searchsorted(self.key, key_q)
+        hit = o_ok & d_ok & (pos < n) & (self.key[np.minimum(pos, n - 1)] == key_q)
+        return np.minimum(pos, n - 1), hit
+
+    def epath_of(self, o: int, d: int):
+        pos, hit = self.locate(np.array([o], dtype=np.int64),
+                               np.array([d], dtype=np.int64))
+        if not hit[0]:
+            return None
+        ep = self.epaths[pos[0]]
+        return None if ep is None else ep
+
+
 def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
                 sp: DataFrame, net: Network, cfg: MatchConfig) -> DataFrame:
     """Per-trajectory pair build + flags + scoring + Viterbi + stitch in ONE
@@ -248,15 +383,14 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
     inside the per-url Arrow group, with the sp table + direction stats
     broadcast. Numeric semantics are identical: the same score_base_np /
     engine_dir_probs / viterbi_beam / stitch_path kernels run either way
-    (the parity suite pins this against the oracle)."""
+    (the parity suite pins this against the oracle).
+
+    The caller (match_pages) guards sp's size: above
+    cfg.sp_broadcast_max_rows it routes to the relational path instead of
+    this broadcast."""
     stats_bc = spark.sparkContext.broadcast(net.dir_stats())
     geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
-    sp_bc = spark.sparkContext.broadcast({
-        (int(r.o_node), int(r.d_node)): (
-            float(r.cost), float(r.path_speed), float(r.pcx), float(r.pcy),
-            float(r.pw), int(r.pn),
-            None if r.epath is None else [int(e) for e in r.epath])
-        for r in sp.collect()})
+    sp_bc = spark.sparkContext.broadcast(SpPayload(sp.toPandas()))
     dir_trans = cfg.dir_trans
     dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
 
@@ -333,26 +467,17 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
         o_node = np.where(flag1, src[R], dst[L])
         d_node = np.where(flag1, dst[L], src[R])
 
-        # ---- sp attach from the broadcast demand table ----
+        # ---- sp attach: one vectorized binary-search gather ----
         spd = sp_bc.value
         n_rows = len(L)
-        cost = np.full(n_rows, np.inf)
-        path_speed = np.zeros(n_rows)
-        pcx = np.zeros(n_rows); pcy = np.zeros(n_rows)
-        pw = np.zeros(n_rows); pn_path = np.zeros(n_rows, dtype=np.int64)
-        has_path = np.zeros(n_rows, dtype=bool)
-        memo = {}
-        for i in range(n_rows):
-            k = (int(o_node[i]), int(d_node[i]))
-            v = memo.get(k)
-            if v is None:
-                v = spd.get(k)
-                memo[k] = v if v is not None else False
-            if v:
-                cost[i], path_speed[i], pcx[i], pcy[i], pw[i], pn_path[i], ep = v
-                has_path[i] = ep is not None and len(ep) > 0
-            elif v is False or v is None:
-                pass
+        pos, hit = spd.locate(o_node, d_node)
+        cost = np.where(hit, spd.cost[pos], np.inf)
+        path_speed = np.where(hit, spd.path_speed[pos], 0.0)
+        pcx = np.where(hit, spd.pcx[pos], 0.0)
+        pcy = np.where(hit, spd.pcy[pos], 0.0)
+        pw = np.where(hit, spd.pw[pos], 0.0)
+        pn_path = np.where(hit, spd.pn[pos], 0)
+        has_path = hit & spd.has_path[pos]
         d_euc = lpdf.d_euc.to_numpy()[K]
         move_dir = lpdf.move_dir.to_numpy()[K]
 
@@ -374,9 +499,8 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
             "dist_prob": dist_prob, "d_sht": d_sht, "avg_speed": avg_speed,
             "o_node": o_node, "d_node": d_node})
         end_prob, rlist = hmm.viterbi_beam(cpdf, gt, cfg)
-        res = hmm.stitch_path(
-            rlist, gt, cpdf, end_prob, cfg, dir_trans,
-            epath_lookup=lambda o, d: (spd.get((o, d)) or (None,) * 7)[6])
+        res = hmm.stitch_path(rlist, gt, cpdf, end_prob, cfg, dir_trans,
+                              epath_lookup=spd.epath_of)
         base.update(res)
         return pd.DataFrame([base])
 
@@ -391,10 +515,16 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     """pages -> matched, one row per url (SURVEY.md §1.2 result schema).
 
     fused=True (default) runs pair-build/scoring/Viterbi in one cogrouped
-    stage (the transition-pair table never shuffles); fused=False keeps
-    every stage a separate relational operator — same kernels, same
-    numbers, useful for stage-level inspection and as the template for
-    planet-scale variants where the sp table cannot broadcast.
+    stage (the transition-pair table never shuffles) with the sp table
+    broadcast; fused=False keeps every stage a separate relational
+    operator — same kernels, same numbers.
+
+    Scale guard: whichever mode is requested, the sp table is only taken
+    driver-side when its measured row count is <= cfg.sp_broadcast_max_rows.
+    Above that the pipeline runs fully relationally: sp equi-join on
+    (o_node, d_node) in scoring (score_pairs_df broadcast_sp=False) and a
+    post-Viterbi epath attach (attach_epath_relational) — no collect, no
+    broadcast of unbounded state.
 
     Urls whose trajectories produce no candidates anywhere (including
     out-of-bbox, status 3) are re-attached via a left-anti join — the
@@ -404,47 +534,64 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     cell_index, edge_attrs = network_frames(spark, net)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused).persist()
+    pairs = None
 
     if fused:
         demands = sp_demands(cands, edge_attrs)
         sp = shortest_path_table(spark, demands, net, cfg).persist()
-        matched = fused_match(spark, cands, points, sp, net, cfg)
-        pairs = None
+        if sp.count() <= cfg.sp_broadcast_max_rows:
+            matched = fused_match(spark, cands, points, sp, net, cfg)
+            # the cogroup's points side already yields status-3 rows for
+            # urls with no candidates anywhere
+            out = matched.persist()
+        else:
+            # sp too large for a driver copy: rehydrate the slim candidates
+            # (one shuffle-free Arrow pass) and run the relational tail
+            full = rehydrate_cands(cands, net)
+            pairs = build_pairs_df(full, points, cfg).persist()
+            scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
+            pre = viterbi_match(full, scored, cfg, sp_paths=None)
+            matched = attach_epath_relational(pre, sp, cfg)
+            out = _with_no_cand_rows(matched, points, cands).persist()
     else:
         pairs = build_pairs_df(cands, points, cfg).persist()
         demands = pairs.select("o_node", "d_node")
         sp = shortest_path_table(spark, demands, net, cfg).persist()
-        scored = score_pairs_df(spark, pairs, sp, net, cfg)
+        if sp.count() <= cfg.sp_broadcast_max_rows:
+            scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=True)
+            # demand-bounded path map for stitch, fetched columnar
+            # (one Arrow toPandas), not row-by-row
+            spp = (sp.select("o_node", "d_node", "epath")
+                   .filter(F.col("epath").isNotNull()).toPandas())
+            sp_paths = spark.sparkContext.broadcast(
+                {(int(o), int(d)): [int(e) for e in ep]
+                 for o, d, ep in zip(spp.o_node, spp.d_node, spp.epath)})
+            matched = viterbi_match(cands, scored, cfg, sp_paths)
+        else:
+            scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
+            pre = viterbi_match(cands, scored, cfg, sp_paths=None)
+            matched = attach_epath_relational(pre, sp, cfg)
+        out = _with_no_cand_rows(matched, points, cands).persist()
 
-        # demand-bounded path map for stitch (the sp table is already
-        # collected for the broadcast join; at planet scale swap for a
-        # post-Viterbi relational epath attach instead)
-        sp_paths = spark.sparkContext.broadcast({
-            (int(r.o_node), int(r.d_node)): list(r.epath) if r.epath is not None else None
-            for r in sp.select("o_node", "d_node", "epath")
-                       .filter(F.col("epath").isNotNull()).collect()})
-        matched = viterbi_match(cands, scored, cfg, sp_paths)
-
-    # matched urls == candidate urls (cogroup keys), so anti-join against
-    # the *persisted* cands — referencing `matched` here would make the
-    # expensive cogroup branch compute twice per action
-    if fused:
-        # the cogroup's points side already yields status-3 rows for urls
-        # with no candidates anywhere
-        out = matched.persist()
-    else:
-        no_cands = (points.select("url").distinct()
-                    .join(cands.select("url"), "url", "left_anti")
-                    .select("url",
-                            F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
-                            F.lit(None).cast("array<long>").alias("epath"),
-                            *[F.lit(None).cast("double").alias(c) for c in
-                              ("step_0", "step_n", "dist", "avg_speed", "prob",
-                               "norm_prob", "dist_prob", "trans_prob", "dir_prob")]))
-        out = matched.unionByName(no_cands).persist()
     out.count()  # materialize, then release the intermediate caches —
     # leaving them pinned degrades successive runs via eviction churn
     for df in (points, cands, pairs, sp):
         if df is not None:
             df.unpersist()
     return out
+
+
+def _with_no_cand_rows(matched: DataFrame, points: DataFrame,
+                       cands: DataFrame) -> DataFrame:
+    """Re-attach status-3 rows for urls with no candidates anywhere.
+    Anti-join against the *persisted* cands — referencing `matched` here
+    would make the expensive cogroup branch compute twice per action."""
+    no_cands = (points.select("url").distinct()
+                .join(cands.select("url"), "url", "left_anti")
+                .select("url",
+                        F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
+                        F.lit(None).cast("array<long>").alias("epath"),
+                        *[F.lit(None).cast("double").alias(c) for c in
+                          ("step_0", "step_n", "dist", "avg_speed", "prob",
+                           "norm_prob", "dist_prob", "trans_prob", "dir_prob")]))
+    return matched.unionByName(no_cands)

@@ -77,6 +77,34 @@ def test_matched_parity(spark, pages_df, net, cfg, oracle_results):
                 assert gv == pytest.approx(wv, rel=1e-9, abs=1e-12), f"{url}: {k}"
 
 
+def _assert_matches_oracle(got, oracle_results):
+    assert len(got) == len(oracle_results)
+    for url, want in oracle_results.items():
+        row = got.loc[url]
+        assert int(row.status) == want["status"], f"{url}: status {row.status} != {want['status']}"
+        g_ep = None if row.epath is None else [int(e) for e in row.epath]
+        w_ep = want["epath"] if want["epath"] is None else [int(e) for e in want["epath"]]
+        assert g_ep == w_ep, f"{url}: epath {g_ep} != {w_ep}"
+        for k in ("step_0", "step_n", "dist", "avg_speed", "prob",
+                  "norm_prob", "dist_prob", "trans_prob", "dir_prob"):
+            gv, wv = float(row[k]), float(want.get(k, np.nan))
+            if np.isnan(wv):
+                assert np.isnan(gv), f"{url}: {k} {gv} != nan"
+            else:
+                assert gv == pytest.approx(wv, rel=1e-9, abs=1e-12), f"{url}: {k}"
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_matched_parity_relational(spark, pages_df, net, cfg, oracle_results, fused):
+    """Planet-scale path: sp_broadcast_max_rows=0 forces the relational
+    sp equi-join + post-Viterbi epath attach (zero driver collects of the
+    sp table) — results must still be EXACTLY the oracle's."""
+    from dataclasses import replace
+    cfg0 = replace(cfg, sp_broadcast_max_rows=0)
+    got = match_pages(spark, pages_df, net, cfg0, fused=fused).toPandas().set_index("url")
+    _assert_matches_oracle(got, oracle_results)
+
+
 def test_matched_statuses(spark, pages_df, net, cfg):
     got = match_pages(spark, pages_df, net, cfg).toPandas().set_index("url")
     assert got.loc["https://example.com/one_point"].status == hmm.STATUS_ONE_POINT

@@ -61,6 +61,29 @@ def test_simhash_identical_zero_hamming(spark, docs):
     assert (pairs.hamming == 0).all()
 
 
+def test_fnv_vectorized_matches_scalar():
+    toks = ["hello", "a", "übung", "x" * 40, "the", "日本語テスト", "m1!@#", "zz"]
+    got = dedup._fnv1a64_vec(toks)
+    want = np.array([dedup._fnv1a64(t) for t in toks], dtype=np.uint64)
+    assert (got == want).all()
+    assert len(dedup._fnv1a64_vec([])) == 0
+
+
+def test_simhash_matches_per_token_reference(spark, docs):
+    """simhash64 (vectorized) must equal the definitional per-token
+    computation: FNV per token, bit-majority, repack."""
+    sample = docs.limit(8).toPandas()
+    got = (dedup.simhash64(spark.createDataFrame(sample))
+           .toPandas().set_index("doc_id").simhash)
+    for r in sample.itertuples():
+        toks = str(r.text).lower().split()
+        hs = np.array([dedup._fnv1a64(t) for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        v = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint64)
+        want = int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        assert np.uint64(got.loc[r.doc_id]) == np.uint64(want)
+
+
 def test_text_stats_vs_python(spark, docs):
     got = text.text_stats(docs.limit(50)).toPandas().set_index("doc_id")
     want = docs.limit(50).toPandas()
