@@ -85,10 +85,20 @@ class StageRunner:
 
     def bucketed_stage(self, name: str, fingerprint: str, inputs: DataFrame,
                        build, key: str = "url", n_buckets: int = 16) -> DataFrame:
-        """Bucket-level resume: compute only the url-hash buckets whose
-        lineage rows are missing; append each finished bucket exactly once.
+        """Bucket-level resume, exactly-once per bucket.
+
+        The commit protocol (crash-safe at every boundary):
+        1. todo = buckets with no lineage row (lineage is the commit log).
+        2. Bucket data is written with DYNAMIC PARTITION OVERWRITE on
+           `bucket` — a rerun after a crash REPLACES any orphan partition
+           from the crashed attempt instead of appending a second copy.
+        3. The lineage rows are appended only after the data write
+           returns; a crash between (2) and (3) leaves data-without-
+           lineage, which step 1 classifies as todo and step 2 overwrites.
 
         `build(inputs_subset) -> DataFrame` must emit rows carrying `key`.
+        Timing note: buckets in one batch share a measured `batch_wall_ms`
+        (they execute as one Spark job); `batch_id` groups them.
         """
         data_dir = os.path.join(self._dir(name), "data")
         lin_dir = os.path.join(self._dir(name), "_lineage")
@@ -106,32 +116,52 @@ class StageRunner:
 
         todo = [b for b in range(n_buckets) if b not in done]
         if todo:
+            # reconcile: drop orphan partitions (data but no lineage row)
+            # left by a crashed attempt — covers the zero-rows-on-recompute
+            # edge dynamic overwrite alone would miss
+            import shutil
+            for b in todo:
+                orphan = os.path.join(data_dir, f"bucket={b}")
+                if os.path.exists(orphan):
+                    shutil.rmtree(orphan)
             subset = inputs.withColumn("_b", bucket).filter(F.col("_b").isin(todo)).drop("_b")
             t0 = time.perf_counter()
             out = build(subset).withColumn("bucket", bucket)
-            out.write.mode("append").partitionBy("bucket").parquet(data_dir)
+            (out.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(data_dir))
             wall_ms = int((time.perf_counter() - t0) * 1000)
-            new = self.spark.read.parquet(data_dir) \
-                .filter(F.col("bucket").isin(todo)) \
-                .groupBy("bucket").agg(F.count("*").alias("rows")) \
-                .withColumn("stage", F.lit(name)) \
-                .withColumn("fingerprint", F.lit(fingerprint)) \
-                .withColumn("wall_ms", F.lit(wall_ms)) \
-                .withColumn("finished_at", F.current_timestamp())
-            # buckets with zero output rows still need a commit record
-            zero = [b for b in todo]
-            present = {r.bucket for r in new.select("bucket").distinct().collect()}
-            missing = [b for b in zero if b not in present]
-            if missing:
-                extra = self.spark.createDataFrame(
-                    [(b, 0) for b in missing], "bucket int, rows long") \
-                    .withColumn("stage", F.lit(name)) \
-                    .withColumn("fingerprint", F.lit(fingerprint)) \
-                    .withColumn("wall_ms", F.lit(wall_ms)) \
-                    .withColumn("finished_at", F.current_timestamp())
-                new = new.unionByName(extra)
-            new.write.mode("append").parquet(lin_dir)
+            counts = {}
+            if _has_parquet(data_dir):
+                counts = {r.bucket: r.rows for r in
+                          self.spark.read.parquet(data_dir)
+                          .filter(F.col("bucket").isin(todo))
+                          .groupBy("bucket").agg(F.count("*").alias("rows")).collect()}
+            batch_id = f"{name}:{len(done)}:{len(todo)}"
+            lin = (self.spark.createDataFrame(
+                [(int(b), int(counts.get(b, 0))) for b in todo],
+                "bucket int, rows long")
+                .withColumn("stage", F.lit(name))
+                .withColumn("fingerprint", F.lit(fingerprint))
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("batch_wall_ms", F.lit(wall_ms))
+                .withColumn("finished_at", F.current_timestamp()))
+            self._commit_lineage(lin, lin_dir)
             self._write_meta(name, {"fingerprint": fingerprint,
                                     "n_buckets": n_buckets})
         return self.spark.read.parquet(data_dir).drop("bucket") \
-            if os.path.exists(data_dir) else build(inputs.limit(0))
+            if _has_parquet(data_dir) else build(inputs.limit(0))
+
+    def _commit_lineage(self, lin: DataFrame, lin_dir: str) -> None:
+        """The lineage append IS the per-bucket commit record (separated
+        out so crash-injection tests can fail exactly at this boundary)."""
+        lin.write.mode("append").parquet(lin_dir)
+
+
+def _has_parquet(d: str) -> bool:
+    """True if the directory holds at least one committed parquet file
+    (an all-zero-rows stage leaves a dir Spark cannot infer schema from)."""
+    for root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

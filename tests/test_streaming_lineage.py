@@ -91,3 +91,75 @@ def test_bucketed_resume_completes_missing(spark, tmp_path):
     assert r2.count() == 1000
     # the resume pass computed only the lost buckets
     assert seen[1] == lost_rows
+
+
+def test_bucketed_exactly_once_on_crash(spark, tmp_path, monkeypatch):
+    """Kill the run BETWEEN the bucket-data write and the lineage commit:
+    the rerun must not duplicate the orphan buckets' rows (the round-1
+    append-then-commit protocol did)."""
+    from st_mapmatching_spark.plans import lineage as L
+
+    root = str(tmp_path / "stages3")
+    runner = StageRunner(spark, root)
+    inputs = spark.range(600).select(F.concat(F.lit("u"), F.col("id")).alias("url"),
+                                     F.col("id").alias("v"))
+
+    def build(subset):
+        return subset.withColumn("out", F.col("v") * 10)
+
+    # attempt 1 crashes after data lands, before the lineage append
+    orig = StageRunner._commit_lineage
+
+    def boom(self, lin, lin_dir):
+        raise RuntimeError("injected crash before lineage commit")
+
+    monkeypatch.setattr(StageRunner, "_commit_lineage", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        runner.bucketed_stage("m", "fp", inputs, build, key="url", n_buckets=4)
+    # orphan data exists, zero lineage
+    data_dir = os.path.join(root, "m", "data")
+    assert spark.read.parquet(data_dir).count() == 600
+    assert runner.lineage("m") is None
+
+    # attempt 2 succeeds; rows must NOT double
+    monkeypatch.setattr(StageRunner, "_commit_lineage", orig)
+    out = runner.bucketed_stage("m", "fp", inputs, build, key="url", n_buckets=4)
+    assert out.count() == 600
+    got = out.toPandas().sort_values("v").reset_index(drop=True)
+    assert got.v.tolist() == list(range(600))
+    lin = runner.lineage("m").toPandas()
+    assert set(lin.bucket) == set(range(4))
+    assert lin.rows.sum() == 600
+
+
+def test_bucketed_exactly_once_zero_row_bucket(spark, tmp_path, monkeypatch):
+    """Crash + rerun where a recomputed bucket legitimately emits ZERO
+    rows: the orphan partition from the crashed attempt must be
+    reconciled away, not read back."""
+    from st_mapmatching_spark.plans.lineage import StageRunner as SR
+
+    root = str(tmp_path / "stages4")
+    runner = StageRunner(spark, root)
+    inputs = spark.range(200).select(F.concat(F.lit("u"), F.col("id")).alias("url"),
+                                     F.col("id").alias("v"))
+
+    phase = {"drop": False}
+
+    def build(subset):
+        if phase["drop"]:
+            return subset.filter(F.col("v") < 0).withColumn("out", F.col("v"))
+        return subset.withColumn("out", F.col("v"))
+
+    def boom(self, lin, lin_dir):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(SR, "_commit_lineage", boom)
+    with pytest.raises(RuntimeError):
+        runner.bucketed_stage("m", "fp", inputs, build, key="url", n_buckets=2)
+    monkeypatch.undo()
+
+    phase["drop"] = True  # recompute now yields zero rows everywhere
+    out = runner.bucketed_stage("m", "fp", inputs, build, key="url", n_buckets=2)
+    assert out.count() == 0  # no stale rows resurrected
+    lin = runner.lineage("m").toPandas()
+    assert lin.rows.sum() == 0
