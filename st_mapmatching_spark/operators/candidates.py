@@ -183,7 +183,8 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                    cfg: MatchConfig, broadcast_index: bool = True,
                    net: Network | None = None,
                    padded_geoms=None, slim: bool = False,
-                   salt_hot_cells: int = 0, hot_threshold: int = 1000) -> DataFrame:
+                   salt_hot_cells: int = 0, hot_threshold: int = 1000,
+                   hot_sample_frac: float | None = None) -> DataFrame:
     """points(url,pid,x,y metric) x edges -> candidates with projection.
 
     Plan: explode each point's +-radius box into its <= 4 cover cells
@@ -214,19 +215,31 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         # shuffle join with explicit hot-cell salting (north_rule): dense
         # urban cells would otherwise pin all their points onto one
         # partition. Hot cells (by point count) split across k salts; the
-        # index side replicates only those cells' rows k times.
+        # index side replicates only those cells' rows k times. The hot
+        # set stays distributed — a broadcast-joined DataFrame, never a
+        # driver collect + literal array (the hot set of a planet-scale
+        # point cloud is itself unbounded).
         k = salt_hot_cells
-        hot = [r.cell for r in (covered.groupBy("cell").count()
-                                .filter(F.col("count") >= hot_threshold)
-                                .select("cell").collect())]
-        hot_lit = F.array(*[F.lit(c) for c in hot]) if hot else F.array(F.lit(-1))
-        p_salt = F.when(F.array_contains(hot_lit, F.col("cell")),
-                        F.pmod(F.xxhash64("url", "pid"), F.lit(k))).otherwise(F.lit(0))
-        covered_s = covered.withColumn("salt", p_salt.cast("int"))
-        idx_s = (cell_index.withColumn(
-            "salt", F.explode(F.when(F.array_contains(hot_lit, F.col("cell")),
-                                     F.sequence(F.lit(0), F.lit(k - 1)))
-                              .otherwise(F.array(F.lit(0))))).withColumn("salt", F.col("salt").cast("int")))
+        hot_src = covered if hot_sample_frac is None \
+            else covered.sample(fraction=hot_sample_frac, seed=7)
+        eff_threshold = hot_threshold if hot_sample_frac is None \
+            else max(1, int(hot_threshold * hot_sample_frac))
+        hot = (hot_src.groupBy("cell").agg(F.count("*").alias("_cnt"))
+               .filter(F.col("_cnt") >= eff_threshold)
+               .select("cell", F.lit(True).alias("_hot")))
+        covered_s = (covered.join(F.broadcast(hot), "cell", "left")
+                     .withColumn("salt",
+                                 F.when(F.col("_hot"),
+                                        F.pmod(F.xxhash64("url", "pid"), F.lit(k)))
+                                 .otherwise(F.lit(0)).cast("int"))
+                     .drop("_hot"))
+        idx_s = (cell_index.join(F.broadcast(hot), "cell", "left")
+                 .withColumn("salt",
+                             F.explode(F.when(F.col("_hot"),
+                                              F.sequence(F.lit(0), F.lit(k - 1)))
+                                       .otherwise(F.array(F.lit(0)))))
+                 .withColumn("salt", F.col("salt").cast("int"))
+                 .drop("_hot"))
         pairs = (covered_s.join(idx_s, ["cell", "salt"])
                  .select("url", "pid", "x", "y", "eid"))
     else:

@@ -29,8 +29,17 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_FILE_EXTS = (".parquet", ".csv", ".json", ".orc", ".avro", ".txt", ".tsv")
+
+
 def _looks_like_table_ident(path: str) -> bool:
-    return "/" not in path and "." in path
+    """Only a full catalog.db.table identifier routes to the Iceberg
+    reader; bare filenames like 'pages.parquet' must stay on the file
+    path (they contain a dot but are not table idents)."""
+    import re
+    if "/" in path or path.lower().endswith(_FILE_EXTS):
+        return False
+    return re.fullmatch(r"\w+\.\w+\.\w+", path) is not None
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

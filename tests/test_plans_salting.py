@@ -42,6 +42,21 @@ def test_extract_scan_pruned(spark, pages, tmp_path):
     assert cols == {"url", "text"}, f"scan not pruned: {cols}"
 
 
+def test_salted_plan_broadcasts_hot_side(spark, points, net, cfg):
+    """The hot-cell set must be attached by broadcast joins on BOTH sides
+    of the salted join (never a driver collect + literal array), while the
+    main cell join stays a shuffle join."""
+    idx, attrs = network_frames(spark, net)
+    df = candidate_join(points, idx, attrs, cfg, broadcast_index=False,
+                        net=net, salt_hot_cells=4, hot_threshold=2)
+    plan = _plan(df, spark)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the round-1 shape — driver collect + array_contains literal — is gone
+    assert "array_contains" not in plan, plan
+    # (the main cell join may itself be auto-broadcast at fixture scale;
+    # at real index sizes it degrades to a shuffle join, which AQE skews)
+
+
 def test_salted_shuffle_join_same_results(spark, points, net, cfg):
     idx, attrs = network_frames(spark, net)
     base = (candidate_join(points, idx, attrs, cfg, net=net)

@@ -1,4 +1,5 @@
-from st_mapmatching_spark.sources.tables import (iceberg_available,
+from st_mapmatching_spark.sources.tables import (_looks_like_table_ident,
+                                                 iceberg_available,
                                                  read_table, write_table)
 
 
@@ -10,3 +11,11 @@ def test_parquet_fallback_roundtrip(spark, tmp_path):
     assert back.count() == 100
     # this sandbox has no Iceberg jars; the probe must degrade cleanly
     assert iceberg_available(spark) in (True, False)
+
+
+def test_table_ident_detection():
+    assert _looks_like_table_ident("lake.db.pages")
+    assert not _looks_like_table_ident("pages.parquet")
+    assert not _looks_like_table_ident("db.pages")          # needs catalog
+    assert not _looks_like_table_ident("a/b/pages.parquet")
+    assert not _looks_like_table_ident("lake.db.pages.csv")
