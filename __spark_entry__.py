@@ -324,6 +324,18 @@ def q_match_grid(spark, sf):
                     F.round("norm_prob", 6).alias("norm_prob_r"))
 
 
+def q_match_grid_classic(spark, sf):
+    """beam_search=False: classic full-lattice Viterbi decode
+    (reference matching.py:187-188 -> viterbi.py:200-268)."""
+    from dataclasses import replace
+    from st_mapmatching_spark.operators.matching import match_pages
+    pages = _render_pages(_pts(spark, sf))
+    m = match_pages(spark, pages, _net(), replace(CFG, beam_search=False))
+    return m.select("url", "status",
+                    F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"),
+                    F.round("norm_prob", 6).alias("norm_prob_r"))
+
+
 def q_geo_simplify(spark, sf):
     from st_mapmatching_spark.operators.candidates import simplify_trajs
     p = _pts(spark, sf).select("url", F.col("pid").alias("pid_raw"),
@@ -332,6 +344,48 @@ def q_geo_simplify(spark, sf):
                                F.col("t_ms").alias("t_epoch"))
     return simplify_trajs(p, CFG).select("url", "pid", F.round("x", 6).alias("x_r"),
                                          F.round("y", 6).alias("y_r"))
+
+
+def q_geo_path_cut(spark, sf):
+    """Fractional path-edge cut (transform_res_2_path's substring kernel,
+    reference postprocess.py:99-123) on a SQL-expressible input: each
+    url's top-1 candidate edge at pid 0, cut at [0.25, 0.75]."""
+    from st_mapmatching_spark.operators.candidates import candidate_join, network_frames
+    from st_mapmatching_spark.operators.postprocess import matched_path_geometry
+    idx, attrs = network_frames(spark, _net())
+    p = _pts(spark, sf).select("url", "pid", "x", "y").filter(F.col("pid") == 0)
+    cands = candidate_join(p, idx, attrs, CFG, net=_net())
+    w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
+    top1 = cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    m = top1.select("url", F.lit(1).alias("status"),
+                    F.array(F.col("eid")).alias("epath"),
+                    F.lit(0.25).alias("step_0"), F.lit(0.75).alias("step_n"))
+    g = matched_path_geometry(m, _net())
+    return g.select("url", "eid", F.round("dist", 6).alias("dist_r"),
+                    F.round("x0", 6).alias("x0_r"), F.round("y0", 6).alias("y0_r"),
+                    F.round("x1", 6).alias("x1_r"), F.round("y1", 6).alias("y1_r"))
+
+
+def q_match_path_geom(spark, sf):
+    """Full matched-path geometry rows (the DataFrame form of
+    transform_res_2_path over real match output) — rows-only gate."""
+    from st_mapmatching_spark.operators.matching import match_pages
+    from st_mapmatching_spark.operators.postprocess import matched_path_geometry
+    pages = _render_pages(_pts(spark, sf))
+    m = match_pages(spark, pages, _net(), CFG)
+    g = matched_path_geometry(m, _net())
+    return g.select("url", "seq", "eid", F.round("dist", 6).alias("dist_r"),
+                    F.round("x0", 6).alias("x0_r"), F.round("y1", 6).alias("y1_r"))
+
+
+def q_geo_resample(spark, sf):
+    """Standalone trajectory resample op (geo/ops/resample.py:9-45) —
+    rows-only gate."""
+    from st_mapmatching_spark.operators.postprocess import resample_trajectory
+    p = _pts(spark, sf).select("url", "pid", "x", "y")
+    return (resample_trajectory(p, step=40.0)
+            .select("url", "seq", F.round("x", 6).alias("x_r"),
+                    F.round("y", 6).alias("y_r")))
 
 
 def q_geo_sp_table(spark, sf):
@@ -404,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_tiles": q_geo_pip_tiles,
         "geo_rasterize": q_geo_rasterize,
         "geo_bbox_filter": q_geo_bbox_filter,
+        "geo_path_cut": q_geo_path_cut,
         # relational
         "rel_topk_orders": q_rel_topk_orders,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -426,6 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dot_pairs": q_sim_dot_pairs,
         # rows-only
         "match_grid": q_match_grid,
+        "match_grid_classic": q_match_grid_classic,
+        "match_path_geom": q_match_path_geom,
+        "geo_resample": q_geo_resample,
         "geo_simplify": q_geo_simplify,
         "geo_sp_table": q_geo_sp_table,
         "dedup_minhash": q_dedup_minhash,
@@ -504,6 +562,36 @@ def oracle_sql() -> dict[str, str]:
 
         "geo_rasterize": f"""WITH {pts}
             SELECT {cell_xy} AS cell, count(*) AS n_points FROM points p GROUP BY 1""",
+
+        # top-1 edge at pid 0, substring-cut at [0.25, 0.75]; grid edges are
+        # 2-point straight segments so the cut is linear interpolation
+        # (reverse twins eid >= N_ONEWAY run end->start)
+        "geo_path_cut": f"""WITH {pts}, {edges},
+            cand AS (
+              SELECT p.url, e.eid, e.ax, e.ay, e.horiz, {D.DIST_EXPR} AS dist
+              FROM (SELECT * FROM points WHERE pid = 0) p CROSS JOIN edges e),
+            ranked AS (
+              SELECT url, eid, ax, ay, horiz,
+                     row_number() OVER (PARTITION BY url ORDER BY dist, eid) AS rnk
+              FROM cand WHERE dist <= {D.RADIUS!r}),
+            ends AS (
+              SELECT url, eid,
+                     CASE WHEN eid < {D.N_ONEWAY} THEN ax
+                          ELSE CASE WHEN horiz THEN ax + {D.S!r} ELSE ax END END AS sx,
+                     CASE WHEN eid < {D.N_ONEWAY} THEN ay
+                          ELSE CASE WHEN horiz THEN ay ELSE ay + {D.S!r} END END AS sy,
+                     CASE WHEN eid < {D.N_ONEWAY} THEN CASE WHEN horiz THEN ax + {D.S!r} ELSE ax END
+                          ELSE ax END AS ex,
+                     CASE WHEN eid < {D.N_ONEWAY} THEN CASE WHEN horiz THEN ay ELSE ay + {D.S!r} END
+                          ELSE ay END AS ey
+              FROM ranked WHERE rnk = 1)
+            SELECT url, eid,
+                   round(0.5 * {D.S!r}, 6) AS dist_r,
+                   round(sx + 0.25 * (ex - sx), 6) AS x0_r,
+                   round(sy + 0.25 * (ey - sy), 6) AS y0_r,
+                   round(sx + 0.75 * (ex - sx), 6) AS x1_r,
+                   round(sy + 0.75 * (ey - sy), 6) AS y1_r
+            FROM ends""",
 
         # CAST: DuckDB's integer sum() is HUGEINT (surfaces as float64 in
         # pandas) while Spark's is BIGINT — same values, different hash

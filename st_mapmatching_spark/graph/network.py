@@ -55,6 +55,21 @@ class Network:
         ys = np.concatenate([g[:, 1] for g in geom_xy])
         self.bbox_xy = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
 
+    def node_xy_arrays(self):
+        """(nids_sorted, xy) node coordinates taken from EDGE geometry
+        endpoints (not the nodes table) so they are bitwise-identical to
+        the vertices the literal path concatenation uses — the dir_prob
+        joint segments depend on exact equality for zero-length joints."""
+        if not hasattr(self, "_node_xy"):
+            m: dict = {}
+            for e, g in self.edge_coords.items():
+                m.setdefault(self.edge_src[int(e)], g[0])
+                m.setdefault(self.edge_dst[int(e)], g[-1])
+            nids = np.array(sorted(m), dtype=np.int64)
+            xy = np.array([m[int(i)] for i in nids], dtype=np.float64)
+            self._node_xy = (nids, xy)
+        return self._node_xy
+
     def attr_arrays(self):
         """(src, dst, dist, speed) numpy arrays aligned with the sorted-eid
         order of padded_geoms() — per-candidate attributes are gathered

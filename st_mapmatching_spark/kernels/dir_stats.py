@@ -154,10 +154,19 @@ class EdgeDirStats:
 
 def engine_dir_probs(stats: "EdgeDirStats", e0, i0, r0, e1, i1, r1,
                      approx, flag1, has_path, pcx, pcy, pw, pn_path,
-                     move_dir) -> np.ndarray:
+                     move_dir, o_xy=None, d_xy=None) -> np.ndarray:
     """The engine's full dir_prob computation from sufficient stats —
     shared by the relational Arrow scorer and the fused per-trajectory
-    matcher (single source of truth for the part/joint bookkeeping)."""
+    matcher (single source of truth for the part/joint bookkeeping).
+
+    Joints between consecutive present parts are real segments in the
+    reference's literal concatenation: normally zero-length (the parts
+    share a vertex), but the approx-point substitution makes step_n start
+    at edge_0's FIRST vertex, far from the path's end — those connecting
+    segments carry real length and bearing and must enter the stats.
+    ``o_xy``/``d_xy`` are the path's endpoint coordinates (the coords of
+    o_node/d_node); when omitted the joints to/from the path are assumed
+    zero-length (pre-round-2 behavior, correct only for non-approx rows)."""
     from .geodesy import bearing_deg
 
     en = np.where(approx, e0, e1)
@@ -167,21 +176,35 @@ def engine_dir_probs(stats: "EdgeDirStats", e0, i0, r0, e1, i1, r1,
     cx0, cy0, w0, n0, p0 = stats.tail_cut_stats(e0, i0, r0)
     cxn, cyn, wn, nn, pn_ = stats.head_cut_stats(en, i_n, rn)
 
-    # real joint segment step_0 -> step_n when the path is absent
-    jfrom = stats.vertex(e0, first=False)
-    jto = stats.vertex(en, first=True)
-    jlen = np.hypot(jto[:, 0] - jfrom[:, 0], jto[:, 1] - jfrom[:, 1])
-    jb = np.radians(bearing_deg(jfrom[:, 0], jfrom[:, 1], jto[:, 0], jto[:, 1]))
-    jreal = p0 & pn_ & (~has_path) & (~flag1)
+    step0_end = stats.vertex(e0, first=False)
+    stepn_start = stats.vertex(en, first=True)
+
+    def joint(frm, to, active):
+        ln = np.hypot(to[:, 0] - frm[:, 0], to[:, 1] - frm[:, 1])
+        b = np.radians(bearing_deg(frm[:, 0], frm[:, 1], to[:, 0], to[:, 1]))
+        act = active & (ln > 0.0)
+        return (np.where(act, ln * np.cos(b), 0.0),
+                np.where(act, ln * np.sin(b), 0.0),
+                np.where(act, ln, 0.0))
+
+    # joint step_0 -> step_n when the path is absent
+    j0 = joint(step0_end, stepn_start, p0 & pn_ & (~has_path) & (~flag1))
+    if o_xy is not None:
+        # joints step_0 -> path start and path end -> step_n
+        j1 = joint(step0_end, o_xy, p0 & has_path & (~flag1))
+        j2 = joint(d_xy, stepn_start, pn_ & has_path & (~flag1))
+    else:
+        z = np.zeros(len(j0[0]))
+        j1 = j2 = (z, z, z)
 
     parts = p0.astype(np.int64) + pn_.astype(np.int64) + has_path.astype(np.int64)
     n_joints = np.maximum(parts - 1, 0)
     cx = (np.where(p0, cx0, 0.0) + np.where(has_path, pcx, 0.0)
-          + np.where(pn_, cxn, 0.0) + np.where(jreal, jlen * np.cos(jb), 0.0))
+          + np.where(pn_, cxn, 0.0) + j0[0] + j1[0] + j2[0])
     cy = (np.where(p0, cy0, 0.0) + np.where(has_path, pcy, 0.0)
-          + np.where(pn_, cyn, 0.0) + np.where(jreal, jlen * np.sin(jb), 0.0))
+          + np.where(pn_, cyn, 0.0) + j0[1] + j1[1] + j2[1])
     w = (np.where(p0, w0, 0.0) + np.where(has_path, pw, 0.0)
-         + np.where(pn_, wn, 0.0) + np.where(jreal, jlen, 0.0))
+         + np.where(pn_, wn, 0.0) + j0[2] + j1[2] + j2[2])
     n = (np.where(p0, n0, 0) + np.where(has_path, pn_path, 0)
          + np.where(pn_, nn, 0) + n_joints)
 

@@ -70,7 +70,13 @@ def layer_params(layer_points: pd.DataFrame) -> pd.DataFrame:
     pts = layer_points.sort_values("pid").reset_index(drop=True)
     x = pts.x.to_numpy()
     y = pts.y.to_numpy()
-    d = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+    dx = x[1:] - x[:-1]
+    dy = y[1:] - y[:-1]
+    # sqrt(dx*dx + dy*dy), NOT np.hypot: IEEE sqrt/mul/add are correctly
+    # rounded, so the JVM twin (operators.matching.layer_links) produces
+    # bit-identical values; hypot algorithms differ in the last ulp, which
+    # is enough to flip knife-edge Viterbi ties between twin edges
+    d = np.sqrt(dx * dx + dy * dy)
     move_dir = bearing_deg(x[:-1], y[:-1], x[1:], y[1:])
     return pd.DataFrame({
         "pid_0": pts.pid.to_numpy()[:-1],
@@ -381,6 +387,100 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
     rlist = pd.DataFrame({"pid": [int(layer_ids[i]) for i, _ in epath],
                           "eid": [int(e) for _, e in epath]})
     return end_prob, rlist
+
+
+def viterbi_classic(cands: pd.DataFrame, gt: pd.DataFrame,
+                    cfg: MatchConfig = MatchConfig()):
+    """Classic full-lattice Viterbi — the reference's beam_search=False
+    branch (matching.py:187-188 -> viterbi.py:200-268): additive
+    accumulation (decode's default mode='+') of dist_prob * emit over ALL
+    candidate states, no pruning, no beam cap, no HMM-break restart.
+
+    Reference-fidelity notes (deliberate, shared with the oracle):
+    * the reference's classic branch is bit-rotted — prepare_viterbi_input
+      reads a `'f'` column (viterbi.py:258) that `graph[['pid_1',
+      'dist_prob']]` (matching.py:188) does not carry, so it raises
+      KeyError as shipped. We implement the evident intent: the
+      transition weight is dist_prob (the classic branch never uses the
+      direction term).
+    * ties: max((value, prev_state)) — larger prev eid wins (viterbi.py:
+      237), and the final state is the larger eid on value ties
+      (viterbi.py:244).
+    * start layer: the first layer WITH candidates (the reference hard-
+      codes pid==0, viterbi.py:251, and would emit an empty lattice when
+      simplification leaves layer 0 candidate-less).
+    * an HMM break (a layer no transition reaches) crashes the reference
+      (max over empty, viterbi.py:244); we return an empty rlist ->
+      STATUS_FAILED, consistent with the beam path's degrade rule.
+
+    Returns (end_prob, rlist) with rlist covering every candidate layer.
+    """
+    c_pid = cands.pid.to_numpy()
+    c_eid = cands.eid.to_numpy()
+    layer_ids = np.unique(c_pid)
+    obs = cands.observ_prob.to_numpy()
+    emit = {(int(p), int(e)): float(o) for p, e, o in zip(c_pid, c_eid, obs)}
+
+    m0 = c_pid == layer_ids[0]
+    v = {int(e): float(o) for e, o in zip(c_eid[m0], obs[m0])}
+    path = {e: [(int(layer_ids[0]), e)] for e in v}
+
+    if len(gt):
+        # canonical (layer, e1, e0) order + NaN-compares-as--inf makes the
+        # winner independent of upstream row order (NaN dist_prob arises
+        # from coincident points; the reference's max() over NaN tuples is
+        # order-dependent — we pin a deterministic rule instead)
+        order = np.lexsort((gt.eid_0.to_numpy(), gt.eid_1.to_numpy(),
+                            gt.pid_0.to_numpy()))
+        g_pid0 = gt.pid_0.to_numpy()[order]
+        g_e0 = gt.eid_0.to_numpy()[order]
+        g_e1 = gt.eid_1.to_numpy()[order]
+        g_dp = gt.dist_prob.to_numpy(dtype=np.float64)[order]
+    else:
+        g_pid0 = np.array([], dtype=np.int64)
+        g_e0 = g_e1 = g_pid0
+        g_dp = np.array([], dtype=np.float64)
+
+    def _cmp(x: float) -> float:
+        return float("-inf") if np.isnan(x) else x
+
+    for t in range(1, len(layer_ids)):
+        lvl = layer_ids[t - 1]
+        pid_t = int(layer_ids[t])
+        lo = np.searchsorted(g_pid0, lvl, side="left")
+        hi = np.searchsorted(g_pid0, lvl, side="right")
+        new_v: dict[int, float] = {}
+        new_path: dict[int, list] = {}
+        best_prev: dict[int, int] = {}
+        for e0, e1, dp in zip(g_e0[lo:hi], g_e1[lo:hi], g_dp[lo:hi]):
+            e0, e1 = int(e0), int(e1)
+            prev = v.get(e0)
+            if prev is None:
+                continue
+            val = prev + dp * emit[(pid_t, e1)]
+            cur = new_v.get(e1)
+            if cur is None or (_cmp(val), e0) > (_cmp(cur), best_prev[e1]):
+                new_v[e1] = val
+                best_prev[e1] = e0
+        for e1, e0 in best_prev.items():
+            new_path[e1] = path[e0] + [(pid_t, e1)]
+        v, path = new_v, new_path
+        if not v:
+            return 0.0, pd.DataFrame({"pid": [], "eid": []})
+
+    end_state = max(v, key=lambda st: (_cmp(v[st]), st))
+    end_prob = float(v[end_state])
+    rlist = pd.DataFrame({"pid": [p for p, _ in path[end_state]],
+                          "eid": [e for _, e in path[end_state]]})
+    return end_prob, rlist
+
+
+def decode_sequence(cands: pd.DataFrame, gt: pd.DataFrame,
+                    cfg: MatchConfig = MatchConfig()):
+    """Dispatch on cfg.beam_search (matching.py:185-188)."""
+    if cfg.beam_search:
+        return viterbi_beam(cands, gt, cfg)
+    return viterbi_classic(cands, gt, cfg)
 
 
 # ---------------------------------------------------------------------------

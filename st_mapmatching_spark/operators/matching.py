@@ -118,7 +118,7 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
               .withColumn("pn", F.coalesce(F.col("pn"), F.lit(0)))
               .withColumn("path_len", F.coalesce(F.col("path_len"), F.lit(0))))
 
-    bc = spark.sparkContext.broadcast(net.dir_stats())
+    bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
     dir_trans = cfg.dir_trans
 
     schema = ("url string, pid_0 int, pid_1 int, eid_0 long, eid_1 long, flag int, "
@@ -133,7 +133,7 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
         import pyarrow as pa
 
         from ..kernels.dir_stats import engine_dir_probs
-        stats = bc.value
+        stats, (nids, nxy) = bc.value
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -152,6 +152,8 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
                 dir_prob = np.full(len(flag), np.nan)
                 trans_prob = dist_prob
             else:
+                o_node = g("o_node", np.int64)
+                d_node = g("d_node", np.int64)
                 dir_prob = engine_dir_probs(
                     stats,
                     g("eid_0", np.int64), g("seg_idx_0", np.int64), g("ratio_0"),
@@ -159,7 +161,9 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
                     col["approx"].to_numpy(zero_copy_only=False), flag1,
                     g("path_len", np.int64) > 0,
                     g("pcx"), g("pcy"), g("pw"), g("pn", np.int64),
-                    g("move_dir"))
+                    g("move_dir"),
+                    o_xy=nxy[np.searchsorted(nids, o_node)],
+                    d_xy=nxy[np.searchsorted(nids, d_node)])
                 trans_prob = dist_prob * dir_prob
 
             yield pa.RecordBatch.from_arrays(
@@ -189,6 +193,7 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
     cands_min = cands.select("url", "pid", "eid",
                              "dist_p2c", "observ_prob", "len0", "len1")
     dir_trans = cfg.dir_trans
+    gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
     relational = sp_paths is None
 
     def fn(key, cpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,7 +213,16 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
             base.update(status=hmm.STATUS_ONE_POINT)
             base["epath0" if relational else "epath"] = [int(best.eid)]
             return pd.DataFrame([base])
-        end_prob, rlist = hmm.viterbi_beam(cpdf, gpdf, cfg)
+        # recompute the emission with the shared numpy kernel (ulp parity
+        # with the oracle — see fused_match) and propagate it onto the
+        # scored pairs keyed by (pid_1, eid_1)
+        dens = hmm.gaussian_emission(cpdf.dist_p2c.to_numpy(), gps_sigma, gps_bias)
+        cpdf = cpdf.assign(observ_prob=hmm.observ_prob_from_density(dens, dens.max()))
+        obs_map = cpdf[["pid", "eid", "observ_prob"]].rename(
+            columns={"pid": "pid_1", "eid": "eid_1", "observ_prob": "_obs"})
+        gpdf = gpdf.merge(obs_map, on=["pid_1", "eid_1"], how="left")
+        gpdf["observ_prob"] = gpdf.pop("_obs")
+        end_prob, rlist = hmm.decode_sequence(cpdf, gpdf, cfg)
         if relational:
             res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
                                   collect_steps=True)
@@ -292,13 +306,17 @@ def layer_links(cands: DataFrame, points: DataFrame) -> DataFrame:
     and the fused matcher."""
     layer_pts = cands.select("url", "pid").distinct().join(points, ["url", "pid"])
     w = Window.partitionBy("url").orderBy("pid")
+    dx = F.col("x1") - F.col("x")
+    dy = F.col("y1") - F.col("y")
+    # sqrt(dx*dx+dy*dy) to stay bit-identical with the numpy twin
+    # (kernels.hmm.layer_params) — see the ulp note there
     return (layer_pts
             .withColumn("pid_1", F.lead("pid").over(w))
             .withColumn("x1", F.lead("x").over(w))
             .withColumn("y1", F.lead("y").over(w))
             .filter(F.col("pid_1").isNotNull())
             .select("url", F.col("pid").alias("pid_0"), "pid_1",
-                    F.hypot(F.col("x1") - F.col("x"), F.col("y1") - F.col("y")).alias("d_euc"),
+                    F.sqrt(dx * dx + dy * dy).alias("d_euc"),
                     bearing_col(F.col("x"), F.col("y"), F.col("x1"), F.col("y1")).alias("move_dir")))
 
 
@@ -388,11 +406,12 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
     The caller (match_pages) guards sp's size: above
     cfg.sp_broadcast_max_rows it routes to the relational path instead of
     this broadcast."""
-    stats_bc = spark.sparkContext.broadcast(net.dir_stats())
+    stats_bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
     geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
     sp_bc = spark.sparkContext.broadcast(SpPayload(sp.toPandas()))
     dir_trans = cfg.dir_trans
     dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
+    gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
 
     def fn(key, cpdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.dir_stats import engine_dir_probs
@@ -442,8 +461,14 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
         segi, rat = pr["seg_idx"], pr["ratio"]
         src, dst = src_a[di], dst_a[di]
         dist, speed = dist_a[di], speed_a[di]
-        obs = cpdf.observ_prob.to_numpy()
-        cpdf = cpdf.assign(src=src, dst=dst, len0=len0, len1=len1)
+        # recompute the emission with the shared numpy kernel: the JVM
+        # exp/sqrt in candidate_join differ from numpy's in the last ulp,
+        # which flips knife-edge decode ties between twin edges — every
+        # float entering the decode must come from one library
+        dens = hmm.gaussian_emission(cpdf.dist_p2c.to_numpy(), gps_sigma, gps_bias)
+        obs = hmm.observ_prob_from_density(dens, dens.max())
+        cpdf = cpdf.assign(src=src, dst=dst, len0=len0, len1=len1,
+                           observ_prob=obs)
 
         e0, e1 = eid[L], eid[R]
         dist_0 = dist[L]
@@ -485,10 +510,13 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
             cost, step_0_len, step_n_len, speed[L], speed[R], path_speed,
             flag, dist_0, d_euc)
         if dir_trans:
+            stats, (nids, nxy) = stats_bc.value
             dir_prob = engine_dir_probs(
-                stats_bc.value, e0, segi[L].astype(np.int64), rat[L],
+                stats, e0, segi[L].astype(np.int64), rat[L],
                 e1, segi[R].astype(np.int64), rat[R],
-                approx, flag1, has_path, pcx, pcy, pw, pn_path, move_dir)
+                approx, flag1, has_path, pcx, pcy, pw, pn_path, move_dir,
+                o_xy=nxy[np.searchsorted(nids, o_node)],
+                d_xy=nxy[np.searchsorted(nids, d_node)])
             trans_prob = dist_prob * dir_prob
         else:
             trans_prob = dist_prob
@@ -498,7 +526,7 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
             "flag": flag, "observ_prob": obs[R], "trans_prob": trans_prob,
             "dist_prob": dist_prob, "d_sht": d_sht, "avg_speed": avg_speed,
             "o_node": o_node, "d_node": d_node})
-        end_prob, rlist = hmm.viterbi_beam(cpdf, gt, cfg)
+        end_prob, rlist = hmm.decode_sequence(cpdf, gt, cfg)
         res = hmm.stitch_path(rlist, gt, cpdf, end_prob, cfg, dir_trans,
                               epath_lookup=spd.epath_of)
         base.update(res)

@@ -122,7 +122,7 @@ def match_trajectory(points_lonlat: np.ndarray, net: Network,
     pairs = attach_shortest_paths(pairs, net, cfg)
     pairs = hmm.finalize_scores(pairs, net.edge_coords, cfg.dir_trans, cfg)
 
-    end_prob, rlist = hmm.viterbi_beam(cands, pairs, cfg)
+    end_prob, rlist = hmm.decode_sequence(cands, pairs, cfg)
     out = hmm.stitch_path(rlist, pairs, cands, end_prob, cfg, cfg.dir_trans)
     res.update(out)
     res["cands"] = cands
