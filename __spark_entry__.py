@@ -246,6 +246,38 @@ def q_rel_dup_detect(spark, sf):
             .select("user_id", "event_id"))
 
 
+def q_rel_combine_chains(spark, sf):
+    """Combine 1-in/1-out chains (reference combine_edges.py:23-84) over a
+    deterministic chain-edge table derived from events: one way per user
+    (src/dst chain), plus branch edges every 11th event_id that raise the
+    attach node's outdegree and break the chain there."""
+    from st_mapmatching_spark.operators.graph_build import combine_chain_edges
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = F.col("user_id").cast("long")
+    ev = F.col("event_id").cast("long")
+    base = (e.withColumn("pid", (F.row_number().over(w) - 1).cast("long"))
+            .select(u.alias("way_id"), F.lit(1).alias("dir"),
+                    F.col("pid").alias("order"),
+                    (u * 100000 + F.col("pid")).alias("eid"),
+                    (u * 100000 + F.col("pid")).alias("src"),
+                    (u * 100000 + F.col("pid") + 1).alias("dst"),
+                    (ev % 50 + 1).alias("dist"),
+                    ev.alias("event_id")))
+    branch = (base.filter(F.col("event_id") % 11 == 0)
+              .select((F.col("event_id") + 1000000).alias("way_id"), "dir",
+                      F.lit(0).cast("long").alias("order"),
+                      (F.lit(500000000) + F.col("event_id")).alias("eid"),
+                      F.col("dst").alias("src"),
+                      (F.lit(900000000) + F.col("event_id")).alias("dst"),
+                      F.lit(7).cast("long").alias("dist")))
+    edges = base.drop("event_id").unionByName(branch)
+    out = combine_chain_edges(edges)
+    return out.select("way_id", "dir", "eid", "src", "dst", "order", "dist",
+                      "n_merged",
+                      F.concat_ws(",", F.col("waypoints").cast("array<string>")).alias("wp"))
+
+
 def q_rel_multi_edge(spark, sf):
     e = spark.read.parquet(f"{sf}/events.parquet")
     return (e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
@@ -471,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_lead": q_rel_window_lead,
         "rel_dup_detect": q_rel_dup_detect,
         "rel_multi_edge": q_rel_multi_edge,
+        "rel_combine_chains": q_rel_combine_chains,
         # text / dedup / similarity
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
@@ -662,6 +695,46 @@ def oracle_sql() -> dict[str, str]:
         "rel_multi_edge": """
             SELECT user_id, event_type, count(*) AS n FROM events
             GROUP BY user_id, event_type HAVING count(*) > 1""",
+
+        "rel_combine_chains": """
+            WITH base AS (
+              SELECT CAST(user_id AS BIGINT) AS way_id, 1 AS dir,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS ord,
+                     CAST(user_id AS BIGINT) * 100000
+                       + (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) AS src,
+                     CAST(event_id AS BIGINT) AS event_id
+              FROM events),
+            edges AS (
+              SELECT way_id, dir, ord, src AS eid, src, src + 1 AS dst,
+                     (event_id % 50 + 1) AS dist
+              FROM base
+              UNION ALL
+              SELECT event_id + 1000000, dir, CAST(0 AS BIGINT),
+                     500000000 + event_id, src + 1, 900000000 + event_id,
+                     CAST(7 AS BIGINT)
+              FROM base WHERE event_id % 11 = 0),
+            deg AS (
+              SELECT nid, sum(ind) AS indeg, sum(outd) AS outdeg FROM (
+                SELECT dst AS nid, 1 AS ind, 0 AS outd FROM edges
+                UNION ALL SELECT src AS nid, 0 AS ind, 1 AS outd FROM edges)
+              GROUP BY nid),
+            aux AS (SELECT nid FROM deg WHERE indeg = 1 AND outdeg = 1),
+            m AS (
+              SELECT e.*,
+                     CASE WHEN a.nid IS NOT NULL AND e.ord > 0
+                               AND lag(e.ord) OVER (PARTITION BY e.way_id, e.dir ORDER BY e.ord) = e.ord - 1
+                          THEN 0 ELSE 1 END AS brk
+              FROM edges e LEFT JOIN aux a ON e.src = a.nid),
+            g AS (
+              SELECT *, sum(brk) OVER (PARTITION BY way_id, dir ORDER BY ord) AS grp
+              FROM m)
+            SELECT way_id, dir,
+                   arg_min(eid, ord) AS eid, arg_min(src, ord) AS src,
+                   arg_max(dst, ord) AS dst, min(ord) AS "order",
+                   CAST(sum(dist) AS BIGINT) AS dist,
+                   count(*) AS n_merged,
+                   array_to_string(list_append(list(src ORDER BY ord), arg_max(dst, ord)), ',') AS wp
+            FROM g GROUP BY way_id, dir, grp""",
 
         "text_stats": f"""
             SELECT doc_id,
