@@ -39,23 +39,49 @@ def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
 
 
 def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """binary payload -> fixed-width feature vector, one Arrow pass.
-    The feature is the 8x8 pseudo-decode's row means — deterministic,
-    schema-stable, replaceable by a real embedding model."""
+    """binary payload -> fixed-width feature vector, one Arrow pass,
+    fully numpy-vectorized over the batch: payloads concatenate into one
+    byte blob; per-doc byte stats come from prefix sums (exact — byte sums
+    stay integral in float64), and the 8x8 pseudo-decode's row means come
+    from one modular-index gather. No per-row Python in the hot loop.
+    Real decode still requires PIL (stubbed in this container) — the
+    fake pseudo-decode keeps schema/batch shapes real."""
+    if not fake and not _HAVE_PIL:
+        raise NotImplementedError("image decode requires PIL; run with fake=True in this sandbox")
 
     def op(batches):
         for pdf in batches:
-            rows = []
-            for url, kind, payload in zip(pdf.url, pdf.kind, pdf.payload):
-                img = decode_image(bytes(payload or b""), fake=fake)
-                b = np.frombuffer(bytes(payload or b"\0"), dtype=np.uint8).astype(np.float64)
-                rows.append({
-                    "url": url, "kind": kind, "n_bytes": len(payload or b""),
-                    "byte_mean": float(b.mean()), "byte_std": float(b.std()),
-                    "feature": img.mean(axis=1).astype(np.float64).tolist(),
-                })
-            yield pd.DataFrame(rows, columns=["url", "kind", "n_bytes",
-                                              "byte_mean", "byte_std", "feature"])
+            pl = [bytes(p) if p is not None else b"" for p in pdf.payload]
+            lens = np.array([len(p) for p in pl], dtype=np.int64)
+            n = len(pl)
+            blob = np.frombuffer(b"".join(pl), dtype=np.uint8).astype(np.float64)
+            starts = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                starts[1:] = np.cumsum(lens)[:-1]
+            cs = np.concatenate([[0.0], np.cumsum(blob)])
+            cs2 = np.concatenate([[0.0], np.cumsum(blob * blob)])
+            ends = starts + lens
+            sums = cs[ends] - cs[starts]
+            sums2 = cs2[ends] - cs2[starts]
+            nz = lens > 0
+            eff = np.maximum(lens, 1).astype(np.float64)
+            mean = np.where(nz, sums / eff, 0.0)
+            var = np.maximum(sums2 / eff - mean * mean, 0.0)
+            std = np.where(nz, np.sqrt(var), 0.0)
+
+            # pseudo-decode: tile each payload to 64 bytes (np.resize
+            # semantics; empty -> zeros), 8x8 row means
+            pos = np.arange(64, dtype=np.int64)
+            idx = starts[:, None] + pos[None, :] % np.maximum(lens, 1)[:, None]
+            tiled = np.where(nz[:, None], blob[np.minimum(idx, max(len(blob) - 1, 0))], 0.0)
+            feature = tiled.reshape(n, 8, 8).mean(axis=2)
+
+            yield pd.DataFrame({
+                "url": pdf.url.to_numpy(), "kind": pdf.kind.to_numpy(),
+                "n_bytes": lens.astype(np.int32),
+                "byte_mean": mean, "byte_std": std,
+                "feature": [row.tolist() for row in feature],
+            })
 
     return media.select("url", "kind", "payload").mapInPandas(op, schema=FEATURE_SCHEMA)
 

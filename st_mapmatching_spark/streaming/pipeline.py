@@ -34,8 +34,10 @@ def stream_extract_points(pages: DataFrame) -> DataFrame:
     def op(batches):
         for pdf in batches:
             out = extract_points(pdf)
-            out["warc_ts"] = pdf.set_index("url")["warc_ts"].reindex(out.url).to_numpy()
-            yield out
+            # merge, not set_index/reindex: a micro-batch may legitimately
+            # carry the same url twice (re-crawl); reindex raises on dups
+            ts = pdf[["url", "warc_ts"]].drop_duplicates("url", keep="first")
+            yield out.merge(ts, on="url", how="left")
 
     schema = ("url string, pid_raw long, x double, y double, t_epoch long, "
               "warc_ts timestamp")

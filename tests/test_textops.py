@@ -149,6 +149,23 @@ def test_multimodal_features(spark, pages):
                                   again.sort_values("url").reset_index(drop=True))
 
 
+def test_multimodal_features_match_definition(spark, pages):
+    """Vectorized batch stats must equal the per-row definitional
+    computation (frombuffer mean/std, np.resize 8x8 row means)."""
+    media = multimodal.pages_to_media(spark.createDataFrame(pages))
+    feats = multimodal.extract_media_features(media).toPandas().set_index("url")
+    src = media.toPandas()
+    for r in src.itertuples():
+        payload = bytes(r.payload or b"")
+        b = np.frombuffer(payload or b"\0", dtype=np.uint8).astype(np.float64)
+        img = np.resize(np.frombuffer(payload or b"\0", dtype=np.uint8), 64).reshape(8, 8)
+        g = feats.loc[r.url]
+        assert g.n_bytes == len(payload)
+        assert g.byte_mean == pytest.approx(float(b.mean()), rel=1e-12)
+        assert g.byte_std == pytest.approx(float(b.std()), rel=1e-9, abs=1e-9)
+        assert np.allclose(list(g.feature), img.mean(axis=1), rtol=1e-12)
+
+
 def test_frame_sample_plan(spark, pages):
     media = multimodal.pages_to_media(spark.createDataFrame(pages))
     plan = multimodal.frame_sample_plan(media, every_n=1).toPandas()
