@@ -780,6 +780,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, c_id, rank, round(cosine, 6) AS cos_r FROM ranked WHERE rank <= 5""",
 
+        # the grid network's shortest paths have a closed form: every edge
+        # is 250 m and both directions exist, so cost = 250 * manhattan
+        # grid distance and path_len = the step count (0 for o == d)
+        "geo_sp_table": f"""
+            WITH o AS (SELECT CAST(range AS BIGINT) AS nid FROM range({D.G * D.G})),
+                 d AS (SELECT CAST(range AS BIGINT) AS nid FROM range(5))
+            SELECT o.nid AS o_node, d.nid AS d_node,
+                   round({D.S!r} * (abs(o.nid % {D.G} - d.nid % {D.G})
+                                    + abs(o.nid // {D.G} - d.nid // {D.G})), 6) AS cost_r,
+                   CAST(abs(o.nid % {D.G} - d.nid % {D.G})
+                        + abs(o.nid // {D.G} - d.nid // {D.G}) AS INT) AS path_len
+            FROM o CROSS JOIN d""",
+
         "sim_dot_pairs": """
             SELECT a.vec_id AS a_id,
                    round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
