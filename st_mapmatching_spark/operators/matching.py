@@ -562,7 +562,7 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     cell_index, edge_attrs = network_frames(spark, net)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused).persist()
-    pairs = None
+    pairs = full = None
 
     if fused:
         demands = sp_demands(cands, edge_attrs)
@@ -574,8 +574,10 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
             out = matched.persist()
         else:
             # sp too large for a driver copy: rehydrate the slim candidates
-            # (one shuffle-free Arrow pass) and run the relational tail
-            full = rehydrate_cands(cands, net)
+            # (one shuffle-free Arrow pass) and run the relational tail;
+            # persisted because the pair self-join scans it twice and the
+            # Viterbi cogroup a third time
+            full = rehydrate_cands(cands, net).persist()
             pairs = build_pairs_df(full, points, cfg).persist()
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
             pre = viterbi_match(full, scored, cfg, sp_paths=None)
@@ -603,7 +605,7 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
 
     out.count()  # materialize, then release the intermediate caches —
     # leaving them pinned degrades successive runs via eviction churn
-    for df in (points, cands, pairs, sp):
+    for df in (points, cands, pairs, full, sp):
         if df is not None:
             df.unpersist()
     return out
