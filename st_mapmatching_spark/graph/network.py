@@ -55,6 +55,36 @@ class Network:
         ys = np.concatenate([g[:, 1] for g in geom_xy])
         self.bbox_xy = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
 
+    def with_reverse_ways(self, way_ids) -> tuple["Network", list[int]]:
+        """New Network with reverse twins added for the given way_ids (the
+        reference's net.add_reverse_way used by the topology self-repair
+        loop, update_network.py:24-33). Edges whose (dst, src) twin
+        already exists are skipped. Returns (network, new_eids); the
+        original network is untouched (the reference's memo clear,
+        geograph.py:223, is moot — the sp table is demand-driven per run)."""
+        wset = {int(w) for w in way_ids}
+        e = self.edges
+        have = set(zip(e.src.astype(int), e.dst.astype(int)))
+        next_eid = int(e.eid.max()) + 1
+        add, new_eids = [], []
+        for r in e[e.way_id.isin(wset)].itertuples():
+            if (int(r.dst), int(r.src)) in have:
+                continue
+            have.add((int(r.dst), int(r.src)))
+            add.append((next_eid, int(r.dst), int(r.src), int(r.way_id),
+                        -int(r.dir), float(r.speed),
+                        np.asarray(r.geom_xy, dtype=np.float64)[::-1].copy()))
+            new_eids.append(next_eid)
+            next_eid += 1
+        if not add:
+            return self, []
+        base = e[["eid", "src", "dst", "way_id", "dir", "speed"]].copy()
+        base["geom"] = list(e.geom_xy)
+        new = pd.DataFrame(add, columns=["eid", "src", "dst", "way_id",
+                                         "dir", "speed", "geom"])
+        merged = pd.concat([base, new], ignore_index=True)
+        return Network(merged, self.nodes, self.cfg, geom_metric=True), new_eids
+
     def node_xy_arrays(self):
         """(nids_sorted, xy) node coordinates taken from EDGE geometry
         endpoints (not the nodes table) so they are bitwise-identical to

@@ -155,16 +155,20 @@ def rehydrate_cands(cands_slim: DataFrame, net: Network) -> DataFrame:
             eid = col["eid"].to_numpy(zero_copy_only=False)
             di = np.searchsorted(eids_sorted, eid)
             pr = project_core(np.stack([x, y], axis=1), mat[di])
-            order = ["url", "pid", "x", "y", "eid", "dist_p2c", "observ_prob"]
+            order = ["url", "pid", "x", "y", "eid", "dist_p2c"]
             arrays = [col[n] for n in order]
+            # placeholder: every consumer of the rehydrated table
+            # (viterbi_match) recomputes the emission in-kernel per url
+            # group — a real value here would need a per-url max window
+            arrays += [pa.array(np.zeros(b.num_rows))]
             arrays += [pa.array(src_a[di]), pa.array(dst_a[di]),
                        pa.array(dist_a[di]), pa.array(speed_a[di]),
                        pa.array(pr["len0"]), pa.array(pr["len1"]),
                        pa.array(pr["seg_idx"].astype(np.int32)),
                        pa.array(pr["ratio"])]
             yield pa.RecordBatch.from_arrays(
-                arrays, order + ["src", "dst", "dist", "speed", "len0",
-                                 "len1", "seg_idx", "ratio"])
+                arrays, order + ["observ_prob", "src", "dst", "dist", "speed",
+                                 "len0", "len1", "seg_idx", "ratio"])
 
     return cands_slim.mapInArrow(op, schema=REHYDRATE_SCHEMA)
 
@@ -299,6 +303,12 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
     w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
     topk = (refined.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= cfg.top_k).drop("rn"))
+
+    if slim:
+        # the fused matcher recomputes the emission in-kernel per url group
+        # (ulp parity with the oracle), so the JVM emission window below
+        # would be one full dead pass over the candidate table
+        return topk
 
     # Gaussian emission, normalized by the per-trajectory max density —
     # pure column math + one window, no UDF

@@ -320,14 +320,29 @@ def layer_links(cands: DataFrame, points: DataFrame) -> DataFrame:
                     bearing_col(F.col("x"), F.col("y"), F.col("x1"), F.col("y1")).alias("move_dir")))
 
 
-def sp_demands(cands: DataFrame, edge_attrs: DataFrame) -> DataFrame:
-    """Superset of the exact shortest-path demand set, computed from slim
-    columns only: (a) dst-nodes of layer i x src-nodes of layer i+1 covers
-    NORMAL and SAME_SRC_LAST transitions; (b) every candidate edge's
-    (src, dst) covers the SAME_SRC_FIRST swap. Extra pairs merely add
-    bounded-Dijkstra targets — they never change results."""
-    ce = cands.select("url", "pid", "eid").join(
-        F.broadcast(edge_attrs.select("eid", "src", "dst")), "eid")
+def sp_demands(cands: DataFrame, edge_attrs: DataFrame,
+               cross_cap: int = 4_000_000) -> DataFrame:
+    """Superset of the exact shortest-path demand set. Extra pairs merely
+    add bounded-Dijkstra targets — they never change results.
+
+    Fast path: when the candidate corridor touches few distinct nodes
+    (|dst-set| x |src-set| <= cross_cap), the demand set is simply their
+    cross product — computed from one map-side-combinable eid distinct,
+    with NO shuffle of the full candidate table. Planet-scale corridors
+    exceed the cap and fall back to the exact per-trajectory derivation:
+    (a) dst-nodes of layer i x src-nodes of layer i+1 covers NORMAL and
+    SAME_SRC_LAST transitions; (b) every candidate edge's (src, dst)
+    covers the SAME_SRC_FIRST swap."""
+    attrs = F.broadcast(edge_attrs.select("eid", "src", "dst"))
+    eids = cands.select("eid").distinct().join(attrs, "eid")
+    o_set = eids.select(F.col("dst").alias("o_node")).distinct()
+    d_set = eids.select(F.col("src").alias("d_node")).distinct()
+    n_o, n_d = o_set.count(), d_set.count()
+    dem_b = eids.select(F.col("src").alias("o_node"), F.col("dst").alias("d_node"))
+    if n_o * n_d <= cross_cap:
+        return o_set.crossJoin(d_set).unionByName(dem_b)
+
+    ce = cands.select("url", "pid", "eid").join(attrs, "eid")
     w = Window.partitionBy("url").orderBy("pid")
     link = (cands.select("url", "pid").distinct()
             .withColumn("pid_1", F.lead("pid").over(w))
@@ -337,7 +352,6 @@ def sp_demands(cands: DataFrame, edge_attrs: DataFrame) -> DataFrame:
     rhs = ce.select("url", F.col("pid").alias("pid_1"),
                     F.col("src").alias("d_node")).distinct()
     dem_a = lhs.join(rhs, ["url", "pid_1"]).select("o_node", "d_node")
-    dem_b = ce.select(F.col("src").alias("o_node"), F.col("dst").alias("d_node"))
     return dem_a.unionByName(dem_b)
 
 
@@ -590,7 +604,18 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     out-of-bbox, status 3) are re-attached via a left-anti join — the
     engine's non-throwing version of the reference's bbox assert
     (matching.py:155-168)."""
-    points = extract_simplify(pages, cfg).persist()
+    points = extract_simplify(pages, cfg)
+    return match_points(spark, points, net, cfg, broadcast_index, fused)
+
+
+def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
+                 cfg: MatchConfig = MatchConfig(), broadcast_index: bool = True,
+                 fused: bool = True) -> DataFrame:
+    """Match pre-extracted metric points (url, pid, x, y) — the pipeline
+    below the text extractor; used by match_pages and by operators that
+    synthesize point tables directly (e.g. the topology repair loop's
+    reversed re-match)."""
+    points = points_in.persist()
     cell_index, edge_attrs = network_frames(spark, net)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused).persist()
