@@ -261,7 +261,14 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         polyline per row is gathered from the broadcast padded matrix by
         eid — no nested arrays, no pandas. In slim mode only dist_p2c is
         emitted; downstream stages re-derive everything else from the
-        broadcast (Arrow boundary width is the measured cost driver)."""
+        broadcast (Arrow boundary width is the measured cost driver).
+
+        Batch-local (url, pid, eid) dedupe runs FIRST: a point reaching an
+        edge through several cover cells duplicates the row ~3x, and those
+        duplicates are adjacent (explode preserves row order, urls arrive
+        contiguous) — dropping them here cuts both the projection work and
+        the downstream shuffle by the same factor. The global
+        dropDuplicates below still guards batch/partition splits."""
         import pyarrow as pa
         eids_sorted, mat = padded_geoms.value
         for b in batches:
@@ -269,6 +276,19 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                 continue
             names = b.schema.names
             col = {n: b.column(i) for i, n in enumerate(names)}
+            u = col["url"].to_numpy(zero_copy_only=False)
+            uid = np.concatenate([[0], np.cumsum(u[1:] != u[:-1])])
+            pid_a = col["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            eid_a = col["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((eid_a, pid_a, uid))
+            su, sp_, se = uid[order], pid_a[order], eid_a[order]
+            first = np.concatenate([[True], (su[1:] != su[:-1])
+                                    | (sp_[1:] != sp_[:-1])
+                                    | (se[1:] != se[:-1])])
+            if not first.all():
+                keep = np.sort(order[first])
+                b = b.take(pa.array(keep))
+                col = {n: b.column(i) for i, n in enumerate(names)}
             x = col["x"].to_numpy(zero_copy_only=False)
             y = col["y"].to_numpy(zero_copy_only=False)
             eid = col["eid"].to_numpy(zero_copy_only=False)

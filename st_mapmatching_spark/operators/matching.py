@@ -622,7 +622,16 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     pairs = full = None
 
     if fused:
-        demands = sp_demands(cands, edge_attrs)
+        nids, _ = net.node_xy_arrays()
+        if len(nids) ** 2 <= min(4_000_000, cfg.sp_broadcast_max_rows):
+            # small network: the all-pairs demand superset needs ZERO
+            # scans of the candidate table (extra pairs only add
+            # bounded-Dijkstra targets)
+            nd = spark.createDataFrame(pd.DataFrame({"n": nids}))
+            demands = (nd.select(F.col("n").alias("o_node"))
+                       .crossJoin(nd.select(F.col("n").alias("d_node"))))
+        else:
+            demands = sp_demands(cands, edge_attrs)
         sp = shortest_path_table(spark, demands, net, cfg).persist()
         if sp.count() <= cfg.sp_broadcast_max_rows:
             matched = fused_match(spark, cands, sp, net, cfg)
