@@ -398,24 +398,61 @@ def q_geo_path_cut(spark, sf):
                     F.round("x1", 6).alias("x1_r"), F.round("y1", 6).alias("y1_r"))
 
 
+PATH_MARGIN = 25  # endpoint-to-node margin (m) > the ±20 m lateral noise
+
+
+def _clean_snake_urls(points: DataFrame) -> DataFrame:
+    """Urls whose derived trajectory neither wraps around the snake route
+    nor starts/ends within PATH_MARGIN of a grid node. For these the
+    matched path is a CLOSED FORM (the snake edges between the first and
+    last point's arc position), which makes the full
+    match->path-geometry pipeline SQL-oracle-able; wrap/boundary urls
+    involve emission ties under the ±20 m lateral noise (an endpoint 3 m
+    past a node projects better onto the previous edge) with no SQL twin
+    and stay covered by the rows-only match_grid gate."""
+    uid = F.split(F.col("url"), "_").getItem(1).cast("long")
+    s0 = (uid * F.lit(D.A_USER)) % F.lit(int(D.SNAKE_LEN))
+    st = points.groupBy("url").agg(F.max("pid").cast("long").alias("maxp"))
+    s1 = s0 + F.col("maxp") * F.lit(int(D.STEP_M))
+    m0, m1 = s0 % int(D.S), s1 % int(D.S)
+    return (st.select("url", s0.alias("s0"), s1.alias("s1"),
+                      m0.alias("m0"), m1.alias("m1"))
+            .filter((F.col("s1") < int(D.SNAKE_LEN))
+                    & (F.col("m0") >= PATH_MARGIN)
+                    & (F.col("m0") <= int(D.S) - PATH_MARGIN)
+                    & (F.col("m1") >= PATH_MARGIN)
+                    & (F.col("m1") <= int(D.S) - PATH_MARGIN))
+            .select("url"))
+
+
 def q_match_path_geom(spark, sf):
-    """Full matched-path geometry rows (the DataFrame form of
-    transform_res_2_path over real match output) — rows-only gate."""
+    """Full matched-path geometry (the DataFrame form of
+    transform_res_2_path over real match output) on the closed-form
+    subset of trajectories — full oracle gate (the engine runs the real
+    extract->simplify->candidates->HMM->Viterbi->cut pipeline; the oracle
+    recomputes the expected result from the snake route's closed form)."""
     from st_mapmatching_spark.operators.matching import match_pages
     from st_mapmatching_spark.operators.postprocess import matched_path_geometry
-    pages = _render_pages(_pts(spark, sf))
+    pts = _pts(spark, sf)
+    pages = _render_pages(pts.join(_clean_snake_urls(pts), "url"))
     m = match_pages(spark, pages, _net(), CFG)
     g = matched_path_geometry(m, _net())
-    return g.select("url", "seq", "eid", F.round("dist", 6).alias("dist_r"),
-                    F.round("x0", 6).alias("x0_r"), F.round("y1", 6).alias("y1_r"))
+    # 1 decimal: the page text renders lon/lat at %.7f (~0.006 m grain);
+    # the closed-form expectations are exact integers, so 0.05 m boundary
+    # margin vs 0.006 m quantization error is safe
+    return g.select("url", "seq", "eid", F.round("dist", 1).alias("dist_r"),
+                    F.round("x0", 1).alias("x0_r"), F.round("y1", 1).alias("y1_r"))
+
+
+RSTEP = 40.0  # resample step (m) — shared by q_geo_resample and its oracle
 
 
 def q_geo_resample(spark, sf):
     """Standalone trajectory resample op (geo/ops/resample.py:9-45) —
-    rows-only gate."""
+    full oracle gate (window cumsum + np.interp closed form in SQL)."""
     from st_mapmatching_spark.operators.postprocess import resample_trajectory
     p = _pts(spark, sf).select("url", "pid", "x", "y")
-    return (resample_trajectory(p, step=40.0)
+    return (resample_trajectory(p, step=RSTEP)
             .select("url", "seq", F.round("x", 6).alias("x_r"),
                     F.round("y", 6).alias("y_r")))
 
@@ -799,4 +836,122 @@ def oracle_sql() -> dict[str, str]:
                                           CAST(b.embedding AS DOUBLE[])), 6) AS dot_r
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
             WHERE a.vec_id < 20""",
+
+        # resample (geo/ops/resample.py:9-45): consecutive-dup drop, window
+        # cumsum of segment lengths, samples at i*step (numpy arange count
+        # = ceil(total/step)), linear interpolation in np.interp's exact
+        # op order (slope first), plus the kept last vertex
+        "geo_resample": f"""WITH {pts},
+            d0 AS (
+              SELECT url, pid, x, y,
+                     lag(x) OVER w AS px, lag(y) OVER w AS py
+              FROM points WINDOW w AS (PARTITION BY url ORDER BY pid)),
+            ded AS (
+              SELECT url, pid, x, y FROM d0
+              WHERE px IS NULL OR x <> px OR y <> py),
+            d1 AS (
+              SELECT url, pid, x, y,
+                     lag(x) OVER w AS px, lag(y) OVER w AS py
+              FROM ded WINDOW w AS (PARTITION BY url ORDER BY pid)),
+            c AS (
+              SELECT url, pid, x, y,
+                     sum(CASE WHEN px IS NULL THEN 0.0
+                              ELSE sqrt((x - px) * (x - px) + (y - py) * (y - py)) END)
+                       OVER (PARTITION BY url ORDER BY pid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d1),
+            tot AS (
+              SELECT url, max(cum) AS total, count(*) AS n,
+                     max_by(x, pid) AS lx, max_by(y, pid) AS ly
+              FROM c GROUP BY url),
+            samp AS (
+              SELECT url, unnest(range(CAST(ceil(total / {RSTEP}) AS BIGINT))) AS seq
+              FROM tot WHERE n > 1),
+            seg AS (
+              SELECT url, x AS x1, y AS y1, cum AS c1,
+                     lag(x) OVER w AS x0, lag(y) OVER w AS y0,
+                     lag(cum) OVER w AS c0
+              FROM c WINDOW w AS (PARTITION BY url ORDER BY pid)),
+            interp AS (
+              SELECT s.url, s.seq,
+                     ((g.x1 - g.x0) / (g.c1 - g.c0))
+                       * (CAST(s.seq AS DOUBLE) * {RSTEP} - g.c0) + g.x0 AS x,
+                     ((g.y1 - g.y0) / (g.c1 - g.c0))
+                       * (CAST(s.seq AS DOUBLE) * {RSTEP} - g.c0) + g.y0 AS y
+              FROM samp s JOIN seg g
+                ON s.url = g.url AND g.c0 IS NOT NULL
+               AND CAST(s.seq AS DOUBLE) * {RSTEP} >= g.c0
+               AND CAST(s.seq AS DOUBLE) * {RSTEP} < g.c1)
+            SELECT url, seq, round(x, 6) AS x_r, round(y, 6) AS y_r FROM interp
+            UNION ALL
+            SELECT url, CAST(ceil(total / {RSTEP}) AS BIGINT) AS seq,
+                   round(lx, 6) AS x_r, round(ly, 6) AS y_r
+            FROM tot WHERE n > 1
+            UNION ALL
+            SELECT c.url, CAST(0 AS BIGINT) AS seq,
+                   round(c.x, 6) AS x_r, round(c.y, 6) AS y_r
+            FROM c JOIN tot USING (url) WHERE tot.n = 1""",
+
+        # matched-path geometry over the CLEAN snake subset (no wrap, no
+        # node-boundary endpoints): the engine runs the real match +
+        # transform_res_2_path; the oracle recomputes the expected rows
+        # from the snake route's closed form — edge k = s // 250 along the
+        # snake, eid/geometry/cut fractions all integer-exact (see
+        # _clean_snake_urls)
+        "match_path_geom": f"""WITH {pts},
+            st AS (
+              SELECT url,
+                     CAST(str_split(url, '_')[2] AS BIGINT) AS uid,
+                     CAST(max(pid) AS BIGINT) AS maxp
+              FROM points GROUP BY url),
+            rng AS (
+              SELECT url,
+                     (uid * {D.A_USER}) % {int(D.SNAKE_LEN)} AS s0,
+                     (uid * {D.A_USER}) % {int(D.SNAKE_LEN)}
+                       + maxp * {int(D.STEP_M)} AS s1
+              FROM st),
+            clean AS (
+              SELECT url, s0, s1, s0 // {int(D.S)} AS k0, s1 // {int(D.S)} AS k1
+              FROM rng
+              WHERE s1 < {int(D.SNAKE_LEN)}
+                AND s0 % {int(D.S)} BETWEEN {PATH_MARGIN} AND {int(D.S) - PATH_MARGIN}
+                AND s1 % {int(D.S)} BETWEEN {PATH_MARGIN} AND {int(D.S) - PATH_MARGIN}),
+            kk AS (
+              SELECT url, s0, s1, k0, k1,
+                     unnest(range(k1 - k0 + 1)) AS seq
+              FROM clean),
+            ge AS (
+              SELECT url, s0, s1, k0, k1, seq,
+                     (k0 + seq) // 9 AS b, (k0 + seq) % 9 AS j
+              FROM kk),
+            pe AS (
+              SELECT url, seq, k1 - k0 AS m1,
+                     CAST(s0 % {int(D.S)} AS DOUBLE) / {D.S!r} AS f0,
+                     CAST(s1 % {int(D.S)} AS DOUBLE) / {D.S!r} AS f1,
+                     CAST(CASE WHEN j = 8 THEN {D.G * (D.G - 1)}
+                                    + (CASE WHEN b % 2 = 0 THEN {(D.G - 1) * (D.G - 1)} ELSE 0 END) + b
+                               WHEN b % 2 = 0 THEN b * {D.G - 1} + j
+                               ELSE {D.N_ONEWAY} + b * {D.G - 1} + ({D.G - 2} - j) END AS BIGINT) AS eid,
+                     CASE WHEN j = 8 THEN CASE WHEN b % 2 = 0 THEN {-D.X0!r} ELSE {D.X0!r} END
+                          WHEN b % 2 = 0 THEN {D.X0!r} + j * {D.S!r}
+                          ELSE {-D.X0!r} - j * {D.S!r} END AS gx0,
+                     {D.X0!r} + b * {D.S!r} AS gy0,
+                     CASE WHEN j = 8 THEN CASE WHEN b % 2 = 0 THEN {-D.X0!r} ELSE {D.X0!r} END
+                          WHEN b % 2 = 0 THEN {D.X0!r} + (j + 1) * {D.S!r}
+                          ELSE {-D.X0!r} - (j + 1) * {D.S!r} END AS gx1,
+                     CASE WHEN j = 8 THEN {D.X0!r} + (b + 1) * {D.S!r}
+                          ELSE {D.X0!r} + b * {D.S!r} END AS gy1
+              FROM ge)
+            SELECT url, CAST(seq AS INT) AS seq, eid,
+                   round(CASE WHEN m1 = 0 THEN {D.S!r} * abs(f1 - f0)
+                              WHEN seq = 0 THEN {D.S!r} * (1.0 - f0)
+                              WHEN seq = m1 THEN {D.S!r} * f1
+                              ELSE {D.S!r} END, 1) AS dist_r,
+                   round(CASE WHEN seq = 0 OR m1 = 0
+                              THEN ((gx1 - gx0) / {D.S!r}) * (f0 * {D.S!r}) + gx0
+                              ELSE gx0 END, 1) AS x0_r,
+                   round(CASE WHEN seq = m1
+                              THEN ((gy1 - gy0) / {D.S!r}) * (f1 * {D.S!r}) + gy0
+                              ELSE gy1 END, 1) AS y1_r
+            FROM pe""",
     }

@@ -201,7 +201,16 @@ def main():
         ceiling = probe["compute"]["scaling_lo_to_hi"] / ratio
         eff_vs_ceiling = eff_match / ceiling if ceiling > 0 else float("nan")
         os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/BASELINE.md", "w") as f:
+        # BENCH/BASELINE.md is the hand-curated measurement record; generated
+        # runs go to BASELINE_run.md and append one history line to RUNS.md so
+        # no run ever destroys the curated analysis.
+        with open("BENCH/RUNS.md", "a") as f:
+            f.write(f"| {lo}->{hi} | x{rlo['mult']} | {rlo['match_sec']}s/"
+                    f"{rhi['match_sec']}s | {rlo['trajs_per_sec']}/"
+                    f"{rhi['trajs_per_sec']} trajs/s | eff {eff_match:.3f} | "
+                    f"probe stream {probe['stream']['scaling_lo_to_hi']}x "
+                    f"compute {probe['compute']['scaling_lo_to_hi']}x |\n")
+        with open("BENCH/BASELINE_run.md", "w") as f:
             f.write("# BENCH — measured throughput + scaling\n\n")
             f.write(f"Identical input ({sf_dir}, x{rlo['mult']} replicated trajectories, "
                     f"{rlo['n_trajs']} trajectories / {rlo['n_points']} points) at both "

@@ -62,6 +62,46 @@ def minhash_signature(shingles: F.Column, n_hashes: int = 32) -> F.Column:
     return F.array(*sig)
 
 
+def _tokenize_arrow(text_arr, lower_nul_to_space: bool = False):
+    """Columnar whitespace tokenizer over an Arrow string array — pyarrow
+    compute only, no per-row Python. Returns (tokens: pa.StringArray with
+    empties filtered, counts: per-doc token counts, np.int64).
+
+    Matches `str(t).lower().split()` semantics: utf8_split_whitespace emits
+    empty tokens at leading/trailing whitespace (Python's .split() does
+    not), so zero-length tokens are dropped; nulls tokenize as 'none'
+    (str(None).lower())."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(pc.utf8_lower(text_arr), "none")
+    if lower_nul_to_space:
+        arr = pc.replace_substring(arr, "\x00", " ")
+    lst = pc.utf8_split_whitespace(arr).combine_chunks()
+    offsets = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts_raw = np.diff(offsets)
+    values = lst.flatten()  # tokens in doc order, respecting the list offsets
+    vlens = pc.binary_length(values).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = vlens > 0
+    n = len(lst)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_raw)
+    tokens = values.take(pa.array(np.flatnonzero(keep)))
+    counts = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+    return tokens, counts
+
+
+def _string_blob(tokens):
+    """Zero-copy (blob, starts, ends) view of a pa.StringArray's utf-8 data."""
+    import numpy as np
+    arr = tokens.combine_chunks() if hasattr(tokens, "combine_chunks") else tokens
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    blob = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else \
+        np.empty(0, dtype=np.uint8)
+    return blob, off[:-1], off[1:]
+
+
 def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 3) -> DataFrame:
     """(id, sh: array<string>) distinct word k-gram shingles, one Arrow pass.
@@ -69,24 +109,75 @@ def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     Built-in higher-order functions are avoided here deliberately: Catalyst's
     projection collapse re-inlines the tokenizer expression into the
     transform lambda, re-evaluating the regex once per array ELEMENT
-    (measured 10s+ for 5k docs). The Arrow pass is linear and
-    batch-vectorized."""
+    (measured 10s+ for 5k docs). Tokenization + gram assembly are fully
+    columnar (pyarrow compute + numpy gather off the list-array offsets);
+    the only Python loop is over the k gram positions."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def op(batches):
-        for pdf in batches:
-            ids, shs = [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                w = " ".join(str(t).lower().strip().split()).split(" ")
-                if len(w) <= k:
-                    grams = [" ".join(w[:k])]
-                else:
-                    grams = [" ".join(w[j:j + k]) for j in range(len(w) - k + 1)]
-                ids.append(i)
-                shs.append(list(dict.fromkeys(grams)))
-            yield pd.DataFrame({"id": ids, "sh": shs})
+        for rb in batches:
+            tab = pa.Table.from_batches([rb])
+            ids = tab.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            tokens, counts = _tokenize_arrow(tab.column(text_col))
+            n = len(ids)
+            starts = np.zeros(n, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
 
-    return docs.select(id_col, text_col).mapInPandas(op, schema="id long, sh array<string>")
+            # docs with >= k tokens get n-k+1 k-grams; 1..k-1 tokens get one
+            # gram of all tokens; 0 tokens get [''] (python-path parity)
+            full = counts >= k
+            g_full = np.where(full, counts - k + 1, 0)
+            fi = np.flatnonzero(full)
+            # flat token index of each full gram's first token
+            reps = g_full[fi]
+            gram_doc_f = np.repeat(fi, reps)
+            base = np.repeat(starts[fi], reps)
+            local = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+            gs = base + local
+            cols = [tokens.take(pa.array(gs + j)) for j in range(k)]
+            grams_f = pc.binary_join_element_wise(*cols, " ") if len(gs) else \
+                pa.array([], type=pa.string())
+
+            short = (counts > 0) & (counts < k)
+            si = np.flatnonzero(short)
+            if len(si):
+                # one gram per short doc: gather its tokens into a compact
+                # values array (ListArray offsets must be contiguous), join
+                sc = counts[si]
+                idx_s = np.repeat(starts[si], sc) + (
+                    np.arange(sc.sum(), dtype=np.int64)
+                    - np.repeat(np.concatenate([[0], np.cumsum(sc)[:-1]]), sc))
+                soff = np.zeros(len(si) + 1, dtype=np.int64)
+                soff[1:] = np.cumsum(sc)
+                sl = pa.ListArray.from_arrays(pa.array(soff),
+                                              tokens.take(pa.array(idx_s)))
+                grams_s = pc.binary_join(sl, " ")
+            else:
+                grams_s = pa.array([], type=pa.string())
+            ei = np.flatnonzero(counts == 0)
+
+            gram_doc = np.concatenate([gram_doc_f, si, ei])
+            gram_val = pa.concat_arrays([
+                grams_f.combine_chunks() if hasattr(grams_f, "combine_chunks") else grams_f,
+                grams_s.combine_chunks() if hasattr(grams_s, "combine_chunks") else grams_s,
+                pa.array([""] * len(ei), type=pa.string())])
+
+            # per-doc distinct (order-insensitive consumers only), C-level
+            pdf = pd.DataFrame({"d": gram_doc,
+                                "g": gram_val.to_pandas()}).drop_duplicates()
+            pdf = pdf.sort_values("d", kind="stable")
+            per_doc = np.bincount(pdf.d.to_numpy(), minlength=n)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            offs[1:] = np.cumsum(per_doc)
+            sh = pa.ListArray.from_arrays(pa.array(offs),
+                                          pa.array(pdf.g.to_numpy(), type=pa.string()))
+            yield pa.RecordBatch.from_arrays([pa.array(ids), sh], ["id", "sh"])
+
+    return docs.select(id_col, text_col).mapInArrow(op, schema="id long, sh array<string>")
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -164,19 +255,22 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     and max_token_len vectorized FNV rounds — no per-row Python in the hot
     loop (the per-token-loop variant measured ~20x slower at 5k docs)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     def op(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            texts = pdf[text_col]
-            tok_lists = [str(t).lower().replace("\x00", " ").split() for t in texts]
-            counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        for rb in batches:
+            tab = pa.Table.from_batches([rb])
+            ids = tab.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            # columnar tokenize (pyarrow compute); the token utf-8 bytes are
+            # read zero-copy straight out of the Arrow values buffer — no
+            # per-doc Python at all
+            tokens, counts = _tokenize_arrow(tab.column(text_col),
+                                             lower_nul_to_space=True)
             out = np.zeros(len(ids), dtype=np.uint64)
             nz = counts > 0
             if nz.any():
-                flat = [tok for toks in tok_lists for tok in toks]
-                hs = _fnv1a64_vec(flat)
+                blob, tstarts, tends = _string_blob(tokens)
+                hs = _fnv1a64_blob(blob, tstarts, tends)
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
                         & np.uint64(1)).astype(np.int32)
                 doc_starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
@@ -184,19 +278,16 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
                 v = (sums * 2 >= counts[nz, None]).astype(np.uint64)
                 out[nz] = (v << np.arange(64, dtype=np.uint64)).sum(axis=1,
                                                                     dtype=np.uint64)
-            yield pd.DataFrame({id_col: ids, "simhash": out.astype(np.int64)})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(out.astype(np.int64))],
+                [id_col, "simhash"])
 
-    return docs.select(id_col, text_col).mapInPandas(op, schema=f"{id_col} long, simhash long")
+    return docs.select(id_col, text_col).mapInArrow(op, schema=f"{id_col} long, simhash long")
 
 
 def _fnv1a64_vec(tokens: list[str]):
-    """FNV-1a(64) of each utf-8 token, vectorized: join into one NUL-
-    separated uint8 blob, recover token offsets with one flatnonzero, sort
-    tokens by length descending, then run max_len hash rounds where round j
-    touches only the contiguous prefix of tokens longer than j — no masks,
-    no padded matrix (the uint8 blob stays cache-resident; measured ~7x
-    the scalar loop, ~20x the old per-doc loop). Matches _fnv1a64
-    byte-for-byte (callers pre-normalize NUL bytes in tokens)."""
+    """FNV-1a(64) of each utf-8 token from a Python list (test/cross-check
+    surface; the Arrow hot path feeds _fnv1a64_blob zero-copy)."""
     import numpy as np
     if not tokens:
         return np.array([], dtype=np.uint64)
@@ -208,11 +299,24 @@ def _fnv1a64_vec(tokens: list[str]):
     ends = np.empty(len(tokens), dtype=np.int64)
     ends[:-1] = seps
     ends[-1] = len(blob)
+    return _fnv1a64_blob(blob, starts, ends)
+
+
+def _fnv1a64_blob(blob, starts, ends):
+    """FNV-1a(64) of each token given a uint8 blob + per-token offsets
+    (zero-copy from an Arrow string array's buffers): sort tokens by length
+    descending, then run max_len hash rounds where round j touches only the
+    contiguous prefix of tokens longer than j — no masks, no padded matrix
+    (the uint8 blob stays cache-resident; measured ~7x the scalar loop,
+    ~20x the old per-doc loop). Matches _fnv1a64 byte-for-byte."""
+    import numpy as np
+    if len(starts) == 0:
+        return np.array([], dtype=np.uint64)
     lens = ends - starts
     order = np.argsort(-lens)
     s_sorted = starts[order]
     l_sorted = lens[order]
-    h = np.full(len(tokens), 0xcbf29ce484222325, dtype=np.uint64)
+    h = np.full(len(starts), 0xcbf29ce484222325, dtype=np.uint64)
     prime = np.uint64(0x100000001b3)
     max_len = int(l_sorted[0]) if len(l_sorted) else 0
     # ks[j] = how many tokens have len > j (lens sorted desc -> prefix)

@@ -272,15 +272,24 @@ def attach_epath_relational(pre: DataFrame, sp: DataFrame, cfg: MatchConfig) -> 
                    .alias("mid")))
 
     out = pre.join(agg, "url", "left")
-    full = F.concat(F.col("mid"), F.array(F.col("last_eid")))
-    dedup = F.aggregate(
-        full, empty,
-        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
-            F.when(F.element_at(acc, -1) == x, acc)
-            .otherwise(F.concat(acc, F.array(x)))))
-
     deferred = F.col("status") == hmm.STATUS_UNKNOWN
-    epath = F.when(deferred, dedup).otherwise(F.col("epath0"))
+    # Consecutive-dedup LINEARLY: posexplode the concatenated sequence and
+    # keep elements that differ from lag(e) over (url ORDER BY pos), then
+    # re-assemble. An F.aggregate fold (or an F.filter referencing the
+    # array, which CollapseProject re-inlines per element) is O(L^2)
+    # expression work per row — epaths are longest exactly on this
+    # planet-scale path. All three steps reuse the url hash partitioning.
+    full = F.concat(F.col("mid"), F.array(F.col("last_eid")))
+    wl = Window.partitionBy("url").orderBy("pos")
+    ded = (out.filter(deferred)
+           .select("url", F.posexplode(full).alias("pos", "e"))
+           .withColumn("prev", F.lag("e").over(wl))
+           .filter(F.col("prev").isNull() | (F.col("e") != F.col("prev")))
+           .groupBy("url")
+           .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "e"))),
+                            lambda s: s.e).alias("dedup")))
+    out = out.join(ded, "url", "left")
+    epath = F.when(deferred, F.col("dedup")).otherwise(F.col("epath0"))
     out = out.withColumn("epath", epath)
     one = F.size("epath") <= 1
     nanlit = F.lit(float("nan"))
@@ -337,7 +346,9 @@ def sp_demands(cands: DataFrame, edge_attrs: DataFrame,
     eids = cands.select("eid").distinct().join(attrs, "eid")
     o_set = eids.select(F.col("dst").alias("o_node")).distinct()
     d_set = eids.select(F.col("src").alias("d_node")).distinct()
-    n_o, n_d = o_set.count(), d_set.count()
+    # both distinct sizes in ONE job (two driver-blocking .count() actions
+    # here doubled the pre-pipeline latency of every match call)
+    n_o, n_d = eids.agg(F.countDistinct("dst"), F.countDistinct("src")).first()
     dem_b = eids.select(F.col("src").alias("o_node"), F.col("dst").alias("d_node"))
     if n_o * n_d <= cross_cap:
         return o_set.crossJoin(d_set).unionByName(dem_b)

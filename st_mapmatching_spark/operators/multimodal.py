@@ -71,10 +71,15 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
             # pseudo-decode: tile each payload to 64 bytes (np.resize
             # semantics; empty -> zeros), 8x8 row means
-            pos = np.arange(64, dtype=np.int64)
-            idx = starts[:, None] + pos[None, :] % np.maximum(lens, 1)[:, None]
-            tiled = np.where(nz[:, None], blob[np.minimum(idx, max(len(blob) - 1, 0))], 0.0)
-            feature = tiled.reshape(n, 8, 8).mean(axis=2)
+            if blob.size == 0:
+                # all payloads empty/null: gather below would index into an
+                # empty array (np.where evaluates both branches)
+                feature = np.zeros((n, 8))
+            else:
+                pos = np.arange(64, dtype=np.int64)
+                idx = starts[:, None] + pos[None, :] % np.maximum(lens, 1)[:, None]
+                tiled = np.where(nz[:, None], blob[np.minimum(idx, len(blob) - 1)], 0.0)
+                feature = tiled.reshape(n, 8, 8).mean(axis=2)
 
             yield pd.DataFrame({
                 "url": pdf.url.to_numpy(), "kind": pdf.kind.to_numpy(),

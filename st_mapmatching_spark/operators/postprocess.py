@@ -83,8 +83,14 @@ def matched_path_geometry(matched: DataFrame, net: Network,
                     coords = np.asarray(geoms[eid], dtype=np.float64)
                     way_id, d, speed, dist = attr[eid]
                     if n == 1:
-                        coords = substring_frac(coords, s0, sn)
-                        dist *= sn - s0
+                        # single-edge (SAME_LINK) matches can project with
+                        # step_0 > step_n; shapely.ops.substring returns the
+                        # reversed substring there — cut (sn, s0) and reverse
+                        if s0 > sn:
+                            coords = substring_frac(coords, sn, s0)[::-1]
+                        else:
+                            coords = substring_frac(coords, s0, sn)
+                        dist *= abs(sn - s0)
                     elif i == 0:
                         coords = substring_frac(coords, s0, 1.0)
                         dist *= 1.0 - s0

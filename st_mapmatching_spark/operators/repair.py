@@ -70,12 +70,15 @@ def repair_topology(spark: SparkSession, points: DataFrame, net: Network,
                 eids.join(F.broadcast(spark.createDataFrame(
                     net.edges[["eid", "way_id"]])), "eid")
                 .select("way_id").distinct().collect()]
+        neg.unpersist()  # consumed by the collect above
         if not ways:
             break
         net, new_eids = net.with_reverse_ways(ways)
         if not new_eids:
             break
         added_all.extend(new_eids)
-        matched = match_points(spark, pts, net, cfg)
+        prev = matched
+        matched = match_points(spark, pts, net, cfg)  # materializes its output
+        prev.unpersist()  # superseded — pinned caches cause eviction churn
     pts.unpersist()
     return matched, net, added_all

@@ -89,7 +89,10 @@ def ivf_topk(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
     their n_probe nearest lists, exact cosine re-rank inside. The standard
     scale path next to LSH; coarse quantizer quality is bounded by the
     sample, which is the usual IVF tradeoff."""
-    sample = np.vstack(embeddings.select(vec_col).limit(sample_n)
+    # deterministic sample: bare limit() is partition-order-dependent on a
+    # real cluster, so centroids (and recall) would vary run to run
+    sample = np.vstack(embeddings.select(id_col, vec_col)
+                       .orderBy(id_col).limit(sample_n)
                        .toPandas()[vec_col].to_numpy()).astype(np.float64)
     cent = _kmeans_lite(sample, n_centroids, iters, seed)
 
