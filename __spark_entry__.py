@@ -954,4 +954,14 @@ def oracle_sql() -> dict[str, str]:
                               THEN ((gy1 - gy0) / {D.S!r}) * (f1 * {D.S!r}) + gy0
                               ELSE gy1 END, 1) AS y1_r
             FROM pe""",
+
+        # documents text is ASCII (verified: max char code 121), so ord()
+        # per char == utf-8 byte; the engine's prefix-sum byte mean is an
+        # exact integer ratio, as is list_avg — hash-exact at 6 dp
+        "mm_features": """
+            SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   round(list_avg(list_transform(string_split(text, ''),
+                                                 x -> ord(x))), 6) AS mean_r
+            FROM documents""",
     }

@@ -60,6 +60,13 @@ class MatchConfig:
     # with zero driver-side collection of the table
     sp_broadcast_max_rows: int = 2_000_000
 
+    # run the match pipeline on xxhash64(url) longs instead of the url
+    # string (restored on the final result by one slim join): numeric
+    # sorts/shuffles and ~40% slimmer Arrow batches on the candidate
+    # tables. Disable for >1e8-trajectory corpora (64-bit collision odds)
+    # or pre-assign numeric ids upstream.
+    url_id_encode: bool = True
+
     # decode strategy (matching.py:64, viterbi.py:200-246): beam_search=True
     # is the reference default; False runs the classic full-lattice Viterbi
     beam_search: bool = True

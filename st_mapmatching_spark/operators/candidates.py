@@ -54,6 +54,14 @@ REFINE_SCHEMA = ("url string, pid int, x double, y double, eid long, src long, d
 REFINE_SCHEMA_SLIM = "url string, pid int, x double, y double, eid long, dist_p2c double"
 
 
+def url_typed(schema: str, df: DataFrame) -> str:
+    """Schemas declare `url string` by default; when the pipeline has
+    dictionary-encoded url to a long id (match_points, cfg.url_id_encode),
+    every Python-stage output schema must follow the input's url dtype."""
+    t = dict(df.dtypes).get("url", "string")
+    return schema.replace("url string", f"url {t}", 1)
+
+
 def extract_trajs(pages: DataFrame) -> DataFrame:
     """pages -> (url, pid_raw, x, y, t_epoch) via the vectorized GEO-line
     extractor in mapInPandas (Arrow batches; the text column is read-only)."""
@@ -170,7 +178,7 @@ def rehydrate_cands(cands_slim: DataFrame, net: Network) -> DataFrame:
                 arrays, order + ["observ_prob", "src", "dst", "dist", "speed",
                                  "len0", "len1", "seg_idx", "ratio"])
 
-    return cands_slim.mapInArrow(op, schema=REHYDRATE_SCHEMA)
+    return cands_slim.mapInArrow(op, schema=url_typed(REHYDRATE_SCHEMA, cands_slim))
 
 
 def network_frames(spark: SparkSession, net: Network):
@@ -309,7 +317,8 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
             yield pa.RecordBatch.from_arrays(
                 arrays, order + ["dist_p2c", "len0", "len1", "seg_idx", "ratio"])
 
-    refined = (cands.mapInArrow(refine, schema=REFINE_SCHEMA_SLIM if slim else REFINE_SCHEMA)
+    refined = (cands.mapInArrow(refine, schema=url_typed(
+                   REFINE_SCHEMA_SLIM if slim else REFINE_SCHEMA, points))
                .filter(F.col("dist_p2c") <= r)
                # One deliberate shuffle on url: url-hash partitioning is a
                # subset of every downstream clustering key — (url,pid,eid)

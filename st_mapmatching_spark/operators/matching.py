@@ -26,7 +26,8 @@ from ..functions.geo_cols import bearing_col
 from ..graph.network import Network
 from ..kernels import hmm
 from .candidates import (candidate_join, extract_simplify, extract_trajs,
-                         network_frames, rehydrate_cands, simplify_trajs)
+                         network_frames, rehydrate_cands, simplify_trajs,
+                         url_typed)
 from .shortest_paths import shortest_path_table
 
 MATCHED_SCHEMA = ("url string, status int, epath array<long>, step_0 double, "
@@ -175,7 +176,7 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
                  col["o_node"], col["d_node"]],
                 SCORED_COLS)
 
-    return joined.mapInArrow(op, schema=schema)
+    return joined.mapInArrow(op, schema=url_typed(schema, pairs))
 
 
 def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
@@ -237,8 +238,8 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
 
     return (cands_min.groupBy("url")
             .cogroup(scored.groupBy("url"))
-            .applyInPandas(fn, schema=MATCHED_PRE_SCHEMA if relational
-                           else MATCHED_SCHEMA))
+            .applyInPandas(fn, schema=url_typed(
+                MATCHED_PRE_SCHEMA if relational else MATCHED_SCHEMA, cands)))
 
 
 def attach_epath_relational(pre: DataFrame, sp: DataFrame, cfg: MatchConfig) -> DataFrame:
@@ -469,14 +470,16 @@ def fused_match(spark: SparkSession, cands: DataFrame,
         ends = np.searchsorted(c_pid, lpdf.pid_0.to_numpy(), side="right")
         starts1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy())
         ends1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy(), side="right")
-        L, R, K = [], [], []
-        for k in range(len(lpdf)):
-            li = np.arange(starts[k], ends[k])
-            ri = np.arange(starts1[k], ends1[k])
-            L.append(np.repeat(li, len(ri)))
-            R.append(np.tile(ri, len(li)))
-            K.append(np.full(len(li) * len(ri), k, dtype=np.int64))
-        L = np.concatenate(L); R = np.concatenate(R); K = np.concatenate(K)
+        # per-layer cross product, fully vectorized: row j of layer k maps
+        # to (left = starts[k] + j // nr[k], right = starts1[k] + j % nr[k])
+        nl = ends - starts
+        nr = ends1 - starts1
+        tot = nl * nr
+        K = np.repeat(np.arange(len(lpdf), dtype=np.int64), tot)
+        off = np.cumsum(tot) - tot                      # exclusive prefix
+        j = np.arange(int(tot.sum()), dtype=np.int64) - off[K]
+        L = starts[K] + j // nr[K]
+        R = starts1[K] + j % nr[K]
 
         # per-candidate attrs + cut params re-derived from the broadcast
         # network (bitwise-identical to the refine stage's project_core)
@@ -591,7 +594,7 @@ def fused_match(spark: SparkSession, cands: DataFrame,
     # local sort only — cands is already url-hash partitioned, so every
     # url's rows are contiguous in exactly one partition after this
     src = cands.sortWithinPartitions("url", "pid", "dist_p2c", "eid")
-    return src.mapInPandas(op, schema=MATCHED_SCHEMA)
+    return src.mapInPandas(op, schema=url_typed(MATCHED_SCHEMA, cands))
 
 
 def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
@@ -625,8 +628,28 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     """Match pre-extracted metric points (url, pid, x, y) — the pipeline
     below the text extractor; used by match_pages and by operators that
     synthesize point tables directly (e.g. the topology repair loop's
-    reversed re-match)."""
-    points = points_in.persist()
+    reversed re-match).
+
+    url dictionary-encoding (cfg.url_id_encode): the url string would
+    otherwise ride through every stage (refine -> shuffle -> top-k window
+    -> fused sort -> Viterbi) and dominate Arrow batch bytes on the
+    widest tables. Instead the pipeline runs on `xxhash64(url)` as a long
+    under the same column name — numeric sorts, slimmer shuffles — and the
+    string is restored by one slim equi-join on the final 1-row-per-url
+    result. Collision odds are n^2/2^65 (~5e-10 at 1e5 trajectories);
+    for >1e8-trajectory corpora set url_id_encode=False or pre-assign
+    numeric ids upstream."""
+    encode = cfg.url_id_encode and dict(points_in.dtypes).get("url") == "string"
+    if encode:
+        # persist carries BOTH forms; the pipeline reads the long, the
+        # restore dim reads both — all from the same cached table
+        both = points_in.withColumn("_uid", F.xxhash64("url")).persist()
+        points = both.select(F.col("_uid").alias("url"),
+                             *[c for c in points_in.columns if c != "url"])
+        url_dim = both.select(F.col("_uid").alias("url"),
+                              F.col("url").alias("_url_str")).distinct()
+    else:
+        both = points = points_in.persist()
     cell_index, edge_attrs = network_frames(spark, net)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused).persist()
@@ -646,7 +669,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
         sp = shortest_path_table(spark, demands, net, cfg).persist()
         if sp.count() <= cfg.sp_broadcast_max_rows:
             matched = fused_match(spark, cands, sp, net, cfg)
-            out = _with_no_cand_rows(matched, points, cands).persist()
+            out = _with_no_cand_rows(matched, points, cands)
         else:
             # sp too large for a driver copy: rehydrate the slim candidates
             # (one shuffle-free Arrow pass) and run the relational tail;
@@ -657,7 +680,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
             pre = viterbi_match(full, scored, cfg, sp_paths=None)
             matched = attach_epath_relational(pre, sp, cfg)
-            out = _with_no_cand_rows(matched, points, cands).persist()
+            out = _with_no_cand_rows(matched, points, cands)
     else:
         pairs = build_pairs_df(cands, points, cfg).persist()
         demands = pairs.select("o_node", "d_node")
@@ -676,11 +699,18 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
             pre = viterbi_match(cands, scored, cfg, sp_paths=None)
             matched = attach_epath_relational(pre, sp, cfg)
-        out = _with_no_cand_rows(matched, points, cands).persist()
+        out = _with_no_cand_rows(matched, points, cands)
 
+    if encode:
+        # restore the url string: one slim equi-join on the final
+        # 1-row-per-url table (AQE broadcasts it when small)
+        out = (out.join(url_dim, "url")
+               .select(F.col("_url_str").alias("url"),
+                       *[c for c in out.columns if c not in ("url", "_url_str")]))
+    out = out.persist()
     out.count()  # materialize, then release the intermediate caches —
     # leaving them pinned degrades successive runs via eviction churn
-    for df in (points, cands, pairs, full, sp):
+    for df in (both, cands, pairs, full, sp):
         if df is not None:
             df.unpersist()
     return out

@@ -1,0 +1,351 @@
+"""OSM XML -> routable network ETL.
+
+Pure-Python + Spark re-derivation of the reference's
+parse_osm_xml.parse_xml_to_graph
+(/root/reference/mapmatching/osmnet/parse_osm_xml.py:354-384), without
+osmium/geopandas/shapely:
+
+* tag extraction (highway filter, oneway / lanes / maxspeed parsing,
+  signal nodes) follows parse_osm_xml.py:21-155 and the public OSM wiki
+  semantics;
+* the post-process — duplicate-way drop, straight-line dist, 1-in/1-out
+  chain combining, reverse twins for two-way roads, multi-edge
+  resolution, waypoint->geometry assembly — runs as Spark DataFrame
+  operators (parse_osm_xml.py:184-352, twoway_edge.py:8-64,
+  combine_edges.py via operators.graph_build.combine_chain_edges);
+* the optional right-offset of two-way carriageways uses the numpy
+  kernel in kernels.offset (twoway_edge.py:52-123).
+
+Scale note: the XML tag scan itself runs on the driver
+(xml.etree.iterparse, streaming, constant memory) — fine for city
+extracts; a planet-scale ingest would split the .osm into way/node
+blocks and run the same tag extraction inside mapInPandas, feeding the
+identical Spark post-process below, which is where all the joins,
+windows and aggregations (the actual work at scale) already live.
+
+Documented divergences from the reference:
+* oneway=-1 ways get their node list reversed at parse time (the
+  reference sets ``is_reversed`` and never consumes it — evident
+  intent);
+* multi-edge case 2 (parse_osm_xml.py:296-352) re-adds dropped
+  duplicate chains' constituent segments; here they are re-added only
+  for (src, dst) pairs not already covered, which preserves
+  connectivity AND the reference's own end-state assertion of zero
+  multi-edges (parse_osm_xml.py:381-382) by construction;
+* ways referencing nodes absent from the file are dropped (the
+  reference raises KeyError).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import EARTH_RADIUS_M, MatchConfig
+from ..operators.graph_build import combine_chain_edges
+
+# ---------------------------------------------------------------------------
+# public OSM tag tables (mirrors mapmatching/setting.py:20-86, which itself
+# adopts the osmnx 'drive' filter — public knowledge)
+# ---------------------------------------------------------------------------
+
+HIGHWAY_FILTERS = ["cycleway", "footway", "path", "pedestrian", "steps",
+                   "track", "corridor", "elevator", "escalator", "proposed",
+                   "construction", "bridleway", "abandoned", "platform",
+                   "raceway"]
+
+LINK_TYPE_LEVEL = {"motorway": 1, "trunk": 2, "primary": 3, "secondary": 4,
+                   "tertiary": 5, "residential": 6, "service": 7,
+                   "cycleway": 8, "footway": 9, "track": 10,
+                   "unclassified": 11, "connector": 20, "railway": 30,
+                   "aeroway": 31}
+
+DEFAULT_SPEED_KPH = {"motorway": 120, "trunk": 100, "primary": 80,
+                     "secondary": 60, "tertiary": 40, "residential": 30,
+                     "service": 30, "cycleway": 5, "footway": 5, "track": 30,
+                     "unclassified": 30, "connector": 120}
+DEFAULT_SPEED_MPS = 30 / 3.6
+
+
+def _parse_oneway(v: str | None) -> tuple[bool, bool]:
+    """(oneway, reversed). Missing tag defaults to oneway=True — the
+    reference's (conservative) default (parse_osm_xml.py:80-81)."""
+    if v is None:
+        return True, False
+    if v in ("yes", "1"):
+        return True, False
+    if v in ("no", "0", "reversible", "alternating"):
+        return False, False
+    if v == "-1":
+        return True, True
+    return True, False  # unknown value: warn-equivalent, keep default
+
+
+def _parse_maxspeed(v: str | None):
+    """kph int; '30 mph' -> *1.6; '50 km/h' -> 50 (parse_osm_xml.py:108-123)."""
+    if v is None:
+        return None
+    try:
+        return int(float(v))
+    except ValueError:
+        m = re.findall(r"\d+\.?\d* mph", v)
+        if m:
+            return int(float(m[0][:-4]) * 1.6)
+        m = re.findall(r"\d+\.?\d* km/h", v)
+        if m:
+            return int(float(m[0][:-5]))
+        return None
+
+
+def _parse_lanes(v: str | None):
+    if v is None:
+        return None
+    m = re.findall(r"\d+\.?\d*", v)
+    return int(float(m[0])) if m else None
+
+
+def parse_osm_xml(source, highway_filters=None):
+    """Stream an .osm XML file (path or file-like) into
+    (ways, nodes, edges) pandas frames.
+
+    ways:  way_id, highway (base class), link, level, speed (m/s),
+           name, oneway, maxspeed, lanes, src, dst, nodes (id list)
+    nodes: nid, x (lon), y (lat), ctrl_type
+    edges: way_id, order, src, dst  (one row per consecutive node pair)
+    """
+    if highway_filters is None:
+        highway_filters = HIGHWAY_FILTERS
+    skip = set(highway_filters)
+
+    all_nodes: dict[int, tuple[float, float, str | None]] = {}
+    ways = []
+    way_nodes: set[int] = set()
+
+    for _, el in ET.iterparse(source, events=("end",)):
+        if el.tag == "node":
+            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+            hw = tags.get("highway")
+            ctrl = "signal" if hw is not None and "signal" in hw else None
+            all_nodes[int(el.get("id"))] = (float(el.get("lon")),
+                                            float(el.get("lat")), ctrl)
+            el.clear()
+        elif el.tag == "way":
+            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+            hw = tags.get("highway")
+            if hw is None or hw in skip:
+                el.clear()
+                continue
+            nds = [int(nd.get("ref")) for nd in el.findall("nd")]
+            if len(nds) < 2:
+                el.clear()
+                continue
+            oneway, reverse = _parse_oneway(tags.get("oneway"))
+            if reverse:
+                nds = nds[::-1]
+            base = hw.split("_")[0]
+            ways.append({
+                "way_id": int(el.get("id")),
+                "highway": base,
+                "link": "link" in hw,
+                "level": LINK_TYPE_LEVEL.get(base, 99),
+                "speed": DEFAULT_SPEED_KPH.get(base, 30) / 3.6,
+                "name": tags.get("name"),
+                "oneway": oneway,
+                "maxspeed": _parse_maxspeed(tags.get("maxspeed")),
+                "lanes": _parse_lanes(tags.get("lanes")),
+                "nodes": nds,
+            })
+            way_nodes.update(nds)
+            el.clear()
+
+    # ways referencing absent nodes are dropped (divergence, documented)
+    ways = [w for w in ways if all(n in all_nodes for n in w["nodes"])]
+    for w in ways:
+        w["src"], w["dst"] = w["nodes"][0], w["nodes"][-1]
+
+    nodes = pd.DataFrame(
+        [(nid, *all_nodes[nid]) for nid in sorted(way_nodes & set(all_nodes))],
+        columns=["nid", "x", "y", "ctrl_type"])
+    ways_pdf = pd.DataFrame(ways)
+
+    edge_rows = []
+    for w in ways:
+        nds = w["nodes"]
+        for i in range(len(nds) - 1):
+            edge_rows.append((w["way_id"], i, nds[i], nds[i + 1]))
+    edges = pd.DataFrame(edge_rows, columns=["way_id", "order", "src", "dst"])
+    return ways_pdf, nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Spark post-process
+# ---------------------------------------------------------------------------
+
+def _haversine_col(x0, y0, x1, y1):
+    """Column-expression haversine (meters), matching
+    kernels.geodesy.haversine_m (osmnet/misc.py:21-26 semantics)."""
+    rx0, ry0, rx1, ry1 = [F.radians(c) for c in (x0, y0, x1, y1)]
+    h = (F.pow(F.sin((ry1 - ry0) / 2), 2)
+         + F.cos(ry0) * F.cos(ry1) * F.pow(F.sin((rx1 - rx0) / 2), 2))
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(h))
+
+
+def osm_network_tables(spark: SparkSession, ways_pdf: pd.DataFrame,
+                       nodes_pdf: pd.DataFrame, edges_pdf: pd.DataFrame,
+                       simplify: bool = True, twoway: bool = True,
+                       offset: bool = False) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Run the relational network build; returns (edges, nodes) pandas
+    frames ready for graph.network.Network (eid, src, dst, way_id, dir,
+    speed, geom lon/lat list, plus way attributes).
+
+    Every step is a DataFrame operator: the node dimension is broadcast
+    (city extracts are small dims next to a planet edge fact table), the
+    chain-combining windows partition by (way_id, dir), and the
+    multi-edge resolution is one window over (src, dst) — no driver
+    loops until the final (bounded) network materialization."""
+    ways = spark.createDataFrame(ways_pdf.assign(
+        chain=ways_pdf["nodes"].astype(str)))
+    nodes = spark.createDataFrame(nodes_pdf)
+    edges = spark.createDataFrame(edges_pdf)
+
+    # --- duplicate ways: same node chain -> keep lowest (level, way_id)
+    # (parse_osm_xml.py:196-212; duplicates share src/dst by definition)
+    wd = Window.partitionBy("chain").orderBy("level", "way_id")
+    ways = (ways.withColumn("_rk", F.row_number().over(wd))
+            .filter(F.col("_rk") == 1).drop("_rk", "chain"))
+    way_dim = F.broadcast(ways.select("way_id", "level", "speed", "oneway"))
+    edges = edges.join(way_dim.select("way_id"), "way_id")  # drop their edges
+
+    # --- straight-line dist per segment (osmnet/misc.py:21-26)
+    nsrc = F.broadcast(nodes.select(F.col("nid").alias("src"),
+                                    F.col("x").alias("x0"), F.col("y").alias("y0")))
+    ndst = F.broadcast(nodes.select(F.col("nid").alias("dst"),
+                                    F.col("x").alias("x1"), F.col("y").alias("y1")))
+    edges = (edges.join(nsrc, "src").join(ndst, "dst")
+             .withColumn("dist", _haversine_col(F.col("x0"), F.col("y0"),
+                                                F.col("x1"), F.col("y1")))
+             .drop("x0", "y0", "x1", "y1")
+             .withColumn("dir", F.lit(1)))
+    we = Window.orderBy("way_id", "order")
+    edges = edges.withColumn("eid", F.row_number().over(we) - 1)
+
+    # --- simplify: combine 1-in/1-out chains, signals never merged away
+    # (parse_osm_xml.py:281-287)
+    if simplify:
+        signals = nodes.filter(F.col("ctrl_type").isNotNull()).select("nid")
+        edges = combine_chain_edges(edges, exclude=signals)
+    else:
+        edges = edges.withColumn(
+            "waypoints", F.array(F.col("src").cast("long"),
+                                 F.col("dst").cast("long"))) \
+            .withColumn("n_merged", F.lit(1))
+
+    # --- reverse twins for two-way ways (twoway_edge.py:22-49); rings
+    # (src == dst) are not twinned, matching the is_ring mask
+    if twoway:
+        two = way_dim.filter(~F.col("oneway")).select("way_id")
+        rev = (edges.join(two, "way_id")
+               .filter(F.col("src") != F.col("dst"))
+               .select("way_id", F.lit(-1).alias("dir"), F.col("eid"),
+                       F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       (-F.col("order") - 1).alias("order"), "dist",
+                       "n_merged", F.reverse("waypoints").alias("waypoints")))
+        edges = edges.unionByName(rev)
+
+    # --- multi-edge resolution (parse_osm_xml.py:296-352): keep the best
+    # (dist, level, way_id) edge per (src, dst); re-add dropped chains'
+    # constituent segments for any od pair not already covered
+    edges = edges.join(F.broadcast(ways.select("way_id", "level")), "way_id")
+    wm = Window.partitionBy("src", "dst").orderBy("dist", "level", "way_id",
+                                                  "dir", "order")
+    edges = edges.withColumn("_rk", F.row_number().over(wm))
+    kept = edges.filter(F.col("_rk") == 1).drop("_rk")
+    dropped = edges.filter(F.col("_rk") > 1).drop("_rk")
+    resegmented = (dropped
+                   .select("way_id", "dir", "level",
+                           F.posexplode(F.expr(
+                               "transform(slice(waypoints, 1, size(waypoints)-1), "
+                               "(w, i) -> struct(w as s, waypoints[i+1] as d))"))
+                           .alias("order", "od"))
+                   .select("way_id", "dir", "level", "order",
+                           F.col("od.s").alias("src"), F.col("od.d").alias("dst"))
+                   .withColumn("waypoints", F.array("src", "dst"))
+                   .withColumn("n_merged", F.lit(1)))
+    resegmented = (resegmented
+                   .join(nsrc, "src").join(ndst, "dst")
+                   .withColumn("dist", _haversine_col(F.col("x0"), F.col("y0"),
+                                                      F.col("x1"), F.col("y1")))
+                   .drop("x0", "y0", "x1", "y1")
+                   .join(kept.select("src", "dst").distinct(), ["src", "dst"],
+                         "left_anti"))
+    # the same od pair may re-segment out of several dropped chains
+    wr = Window.partitionBy("src", "dst").orderBy("dist", "level", "way_id",
+                                                  "dir", "order")
+    resegmented = (resegmented.withColumn("_rk", F.row_number().over(wr))
+                   .filter(F.col("_rk") == 1).drop("_rk")
+                   .withColumn("eid", F.lit(-1)))
+    edges = kept.unionByName(resegmented.select(*kept.columns))
+
+    # --- geometry from waypoints (parse_osm_xml.py:258-279): explode the
+    # node chain, broadcast-join coordinates, re-assemble ordered
+    nxy = F.broadcast(nodes.select(F.col("nid").alias("wp"), "x", "y"))
+    key = ["way_id", "dir", "order"]
+    geom = (edges.select(*key, F.posexplode("waypoints").alias("pos", "wp"))
+            .join(nxy, "wp")
+            .groupBy(*key)
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "pos", F.array("x", "y").alias("xy")))).alias("_g"))
+            .select(*key, F.transform("_g", lambda s: s.xy).alias("geom")))
+    edges = edges.join(geom, key)
+
+    # --- final deterministic eid + way attributes
+    # (parse_osm_xml.py:375-382)
+    attrs = F.broadcast(ways.select(
+        "way_id", F.col("highway").alias("road_type"), "link", "name",
+        "speed", "maxspeed", "lanes", "oneway"))
+    out = (edges.drop("level")
+           .join(attrs, "way_id")
+           .withColumn("eid", F.row_number().over(
+               Window.orderBy("way_id", "dir", "order")) - 1))
+
+    edges_pd = out.toPandas()
+    # Arrow hands nested arrays back as object-dtype ndarrays of ndarrays,
+    # which np.asarray(..., float64) refuses; densify each polyline once
+    edges_pd["geom"] = edges_pd["geom"].map(
+        lambda g: np.vstack([np.asarray(p, np.float64) for p in g]))
+    n_multi = edges_pd.duplicated(["src", "dst"]).sum()
+    assert n_multi == 0, f"multi-edges survived the build: {n_multi}"
+
+    if offset and twoway:
+        from ..kernels.offset import parallel_offset_edge
+        two_ways = set(edges_pd.loc[edges_pd["dir"] == -1, "way_id"])
+        mask = edges_pd["way_id"].isin(two_ways)
+        edges_pd.loc[mask, "geom"] = edges_pd.loc[mask, "geom"].apply(
+            lambda g: parallel_offset_edge(np.asarray(g)).tolist())
+
+    nodes_pd = nodes_pdf.rename(columns={"lon": "x", "lat": "y"})
+    return edges_pd, nodes_pd
+
+
+def build_network_from_osm_xml(spark: SparkSession, source,
+                               cfg: MatchConfig | None = None,
+                               simplify: bool = True, twoway: bool = True,
+                               offset: bool = False):
+    """.osm XML -> routable Network (the parse_xml_to_graph equivalent,
+    parse_osm_xml.py:354-384)."""
+    from ..graph.network import Network
+    cfg = cfg or MatchConfig()
+    ways_pdf, nodes_pdf, edges_pdf = parse_osm_xml(source)
+    edges_pd, nodes_pd = osm_network_tables(
+        spark, ways_pdf, nodes_pdf, edges_pdf,
+        simplify=simplify, twoway=twoway, offset=offset)
+    net_edges = edges_pd[["eid", "src", "dst", "way_id", "dir", "speed",
+                          "geom"]].copy()
+    net_nodes = nodes_pd[["nid", "x", "y"]].copy()
+    return Network(net_edges, net_nodes, cfg), edges_pd
