@@ -96,6 +96,21 @@ def _cell_sql(x, y):
             f"+ (CAST(floor(({y}) / {D.CELL!r}) AS BIGINT) + {_CELL_OFF})")
 
 
+def _chord_dist_sql(s="i.s", e="i.e", j="j"):
+    """SQL twin of kernels.geodesy.point_to_chord_dist over a trajectory's
+    list columns (1-based list indexing; operand order matches the numpy
+    kernel so every IEEE op rounds identically)."""
+    ax, ay = f"t.xs[{s}+1]", f"t.ys[{s}+1]"
+    bx, by = f"t.xs[{e}+1]", f"t.ys[{e}+1]"
+    px, py = f"t.xs[{j}+1]", f"t.ys[{j}+1]"
+    a = f"sqrt(({bx}-{ax})*({bx}-{ax}) + ({by}-{ay})*({by}-{ay}))"
+    b = f"sqrt(({px}-{ax})*({px}-{ax}) + ({py}-{ay})*({py}-{ay}))"
+    c = f"sqrt(({px}-{bx})*({px}-{bx}) + ({py}-{by})*({py}-{by}))"
+    p = f"(({a}) + ({b}) + ({c})) / 2.0"
+    s_ = f"sqrt(abs(({p}) * (({p}) - ({a})) * (({p}) - ({b})) * (({p}) - ({c}))))"
+    return f"CASE WHEN ({a}) = 0 THEN ({b}) ELSE 2.0 * ({s_}) / ({a}) END"
+
+
 # ---------------------------------------------------------------------------
 # geo queries
 # ---------------------------------------------------------------------------
@@ -504,6 +519,53 @@ def q_eval_lcss(spark, sf):
             .select("url", F.round("metric_value", 6).alias("lcss_r")))
 
 
+def _osm_fixture_xml() -> str:
+    """Deterministic .osm fixture for the osm_network gate: 8 parallel
+    6-node ways (even = oneway primary, odd = two-way residential), a
+    traffic signal splitting way 1, a duplicate-chain way (dropped), and
+    a footway (filtered). Node/way geometry is pure arithmetic so the
+    oracle derives the built edge table in closed form."""
+    parts = ["<?xml version='1.0'?><osm>"]
+    for w in range(8):
+        lat = 22.5 + w * 0.001
+        for i in range(6):
+            nid = w * 10 + i
+            tag = '<tag k="highway" v="traffic_signals"/>' if nid == 12 else ""
+            parts.append(f'<node id="{nid}" lon="{114.0 + i * 0.001}" '
+                         f'lat="{lat}">{tag}</node>')
+    for w in range(8):
+        nds = "".join(f'<nd ref="{w * 10 + i}"/>' for i in range(6))
+        hw, ow = ("primary", "yes") if w % 2 == 0 else ("residential", "no")
+        parts.append(f'<way id="{w}">{nds}<tag k="highway" v="{hw}"/>'
+                     f'<tag k="oneway" v="{ow}"/></way>')
+    # duplicate chain of way 0 (higher level -> dropped) + a filtered footway
+    nds0 = "".join(f'<nd ref="{i}"/>' for i in range(6))
+    parts.append(f'<way id="100">{nds0}<tag k="highway" v="secondary"/>'
+                 f'<tag k="oneway" v="yes"/></way>')
+    parts.append('<way id="101"><nd ref="0"/><nd ref="10"/>'
+                 '<tag k="highway" v="footway"/></way>')
+    parts.append("</osm>")
+    return "".join(parts)
+
+
+def q_osm_network(spark, sf):
+    """OSM XML -> routable network ETL (parse_osm_xml.py:354-384 as Spark
+    relational operators: dup-way drop, signal-aware chain combining,
+    reverse twins, multi-edge resolution, geometry assembly)."""
+    import io
+    from st_mapmatching_spark.sources.osm_xml import (osm_network_tables,
+                                                      parse_osm_xml)
+    ways, nodes, edges = parse_osm_xml(io.StringIO(_osm_fixture_xml()))
+    edges_pd, _ = osm_network_tables(spark, ways, nodes, edges)
+    out = edges_pd[["eid", "way_id", "dir", "src", "dst", "n_merged"]] \
+        .astype("int64")
+    out["dist_r"] = edges_pd["dist"].round(3)
+    out["speed_r"] = edges_pd["speed"].round(6)
+    out["wp_s"] = edges_pd["waypoints"].map(
+        lambda w: ",".join(str(int(v)) for v in w))
+    return spark.createDataFrame(out.sort_values("eid"))
+
+
 def q_mm_features(spark, sf):
     from st_mapmatching_spark.operators.multimodal import extract_media_features
     media = _docs(spark, sf).select(
@@ -562,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,
         "eval_lcss": q_eval_lcss,
         "mm_features": q_mm_features,
+        "osm_network": q_osm_network,
     }
 
 
@@ -954,6 +1017,168 @@ def oracle_sql() -> dict[str, str]:
                               THEN ((gy1 - gy0) / {D.S!r}) * (f1 * {D.S!r}) + gy0
                               ELSE gy1 END, 1) AS y1_r
             FROM pe""",
+
+        # closed-form twin of the OSM ETL fixture (q_osm_network docstring):
+        # even ways combine to one edge (5 merged segments), odd ways add
+        # reverse twins, way 1 splits at the signal node 12; haversine
+        # re-derived per segment (trig ulp differences vanish at 3 dp)
+        "osm_network": """
+            WITH seg AS (
+              SELECT w.w AS w, i.i AS i,
+                     2 * 6371008.8 * asin(sqrt(
+                       cos(radians(22.5 + w.w * 0.001))
+                       * cos(radians(22.5 + w.w * 0.001))
+                       * pow(sin((radians(114.0 + (i.i + 1) * 0.001)
+                                  - radians(114.0 + i.i * 0.001)) / 2), 2)
+                     )) AS d
+              FROM (SELECT unnest(range(8)) AS w) w,
+                   (SELECT unnest(range(5)) AS i) i
+            ),
+            ds AS (  -- dist of way w's segments [i0, i1)
+              SELECT w, SUM(d) AS full_d,
+                     SUM(CASE WHEN i < 2 THEN d END) AS head_d,
+                     SUM(CASE WHEN i >= 2 THEN d END) AS tail_d
+              FROM seg GROUP BY w
+            ),
+            wp AS (
+              SELECT w, array_to_string(list_transform(range(0, 6),
+                        j -> CAST(w * 10 + j AS VARCHAR)), ',') AS fwd,
+                     array_to_string(list_transform(range(0, 6),
+                        j -> CAST(w * 10 + 5 - j AS VARCHAR)), ',') AS rev
+              FROM (SELECT unnest(range(8)) AS w)
+            ),
+            e AS (
+              -- even ways: one combined oneway edge
+              SELECT d.w AS way_id, 1 AS dir, 0 AS ord, d.w*10 AS src,
+                     d.w*10+5 AS dst, 5 AS n_merged, d.full_d AS dist,
+                     80/3.6 AS speed, wp.fwd AS wp_s
+              FROM ds d JOIN wp USING (w) WHERE d.w % 2 = 0
+              UNION ALL
+              -- odd ways except 1: combined two-way edge + reverse twin
+              SELECT d.w, 1, 0, d.w*10, d.w*10+5, 5, d.full_d, 30/3.6, wp.fwd
+              FROM ds d JOIN wp USING (w) WHERE d.w % 2 = 1 AND d.w <> 1
+              UNION ALL
+              SELECT d.w, -1, -1, d.w*10+5, d.w*10, 5, d.full_d, 30/3.6, wp.rev
+              FROM ds d JOIN wp USING (w) WHERE d.w % 2 = 1 AND d.w <> 1
+              UNION ALL
+              -- way 1 splits at signal node 12: (10-12), (12-15) + twins
+              SELECT 1, 1, 0, 10, 12, 2, d.head_d, 30/3.6, '10,11,12'
+              FROM ds d WHERE d.w = 1
+              UNION ALL
+              SELECT 1, 1, 2, 12, 15, 3, d.tail_d, 30/3.6, '12,13,14,15'
+              FROM ds d WHERE d.w = 1
+              UNION ALL
+              SELECT 1, -1, -1, 12, 10, 2, d.head_d, 30/3.6, '12,11,10'
+              FROM ds d WHERE d.w = 1
+              UNION ALL
+              SELECT 1, -1, -3, 15, 12, 3, d.tail_d, 30/3.6, '15,14,13,12'
+              FROM ds d WHERE d.w = 1
+            )
+            SELECT CAST(row_number() OVER (ORDER BY way_id, dir, ord) - 1
+                        AS BIGINT) AS eid,
+                   CAST(way_id AS BIGINT) AS way_id, CAST(dir AS BIGINT) AS dir,
+                   CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+                   CAST(n_merged AS BIGINT) AS n_merged,
+                   round(dist, 3) AS dist_r, round(speed, 6) AS speed_r, wp_s
+            FROM e""",
+
+        # Douglas-Peucker as a recursive CTE: each iteration takes the
+        # frontier of (s, e) intervals, finds the max-chord-distance point
+        # (list_position returns the FIRST max — np.argmax semantics) and
+        # splits when >= tolerance; kept pids = interval endpoints. The
+        # chord distance uses sqrt(dx*dx+dy*dy) Heron exactly like the
+        # kernel (IEEE-correctly-rounded ops only), so distances, ties and
+        # threshold decisions agree bitwise. The keep-set dedup is an
+        # explicit DISTINCT because DuckDB 1.0's UNION over two references
+        # to a recursive CTE does not deduplicate (verified).
+        "geo_simplify": f"""
+            WITH RECURSIVE base AS (
+              WITH {pts}
+              SELECT url, pid,
+                     (({D.LON0!r} + x / {D.MK!r}) - {D.LON0!r}) * {D.MK!r} AS x,
+                     (({D.LAT0!r} + y / {M_PER_DEG!r}) - {D.LAT0!r}) * {M_PER_DEG!r} AS y
+              FROM points
+            ),
+            tr AS (
+              SELECT url, list(x ORDER BY pid) AS xs, list(y ORDER BY pid) AS ys,
+                     count(*) AS n
+              FROM base GROUP BY url
+            ),
+            iv(url, s, e) AS (
+              SELECT url, 0, CAST(n - 1 AS BIGINT) FROM tr
+              UNION ALL
+              SELECT w.url, u.s2, u.e2
+              FROM (
+                SELECT d.url, d.s, d.e,
+                       d.s + 1 + list_position(dl, list_max(dl)) - 1 AS k,
+                       list_max(dl) AS dmax
+                FROM (
+                  SELECT i.url, i.s, i.e,
+                         list_transform(range(i.s + 1, i.e),
+                                        j -> {_chord_dist_sql()}) AS dl
+                  FROM iv i JOIN tr t USING (url)
+                  WHERE i.e - i.s >= 2
+                ) d
+              ) w, unnest([struct_pack(s2 := w.s, e2 := w.k),
+                           struct_pack(s2 := w.k, e2 := w.e)]) AS t(u)
+              WHERE w.dmax >= {CFG.tolerance!r}
+            ),
+            keep AS (
+              SELECT DISTINCT url, pid FROM (
+                SELECT url, s AS pid FROM iv
+                UNION ALL SELECT url, e AS pid FROM iv)
+            )
+            SELECT k.url AS url,
+                   CAST(row_number() OVER (PARTITION BY k.url ORDER BY k.pid) - 1
+                        AS INT) AS pid,
+                   round(b.x, 6) AS x_r, round(b.y, 6) AS y_r
+            FROM keep k JOIN base b ON b.url = k.url AND b.pid = k.pid""",
+
+        # full SimHash twin in SQL: FNV-1a(64) per whitespace token via
+        # list_reduce over char codes (ASCII text, so ord == utf-8 byte;
+        # HUGEINT holds h*prime < 2^105 exactly), per-bit majority vote,
+        # then brute-force hamming<=3 pairs — the engine's 16-bit-chunk
+        # blocking is exact for hamming<=3 (pigeonhole), so the oracle's
+        # all-pairs scan returns the identical pair set
+        "dedup_simhash": r"""
+            WITH tok AS (
+              SELECT doc_id, t.tok
+              FROM documents, unnest(list_filter(
+                string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t(tok)
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                    list_transform(string_split(tok, ''),
+                                                   c -> CAST(ord(c) AS HUGEINT))),
+                       (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                                  * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+                     ) AS UBIGINT) AS fnv
+              FROM tok
+            ),
+            bits AS (
+              SELECT doc_id, i.i AS i,
+                     SUM(CAST((fnv >> CAST(i.i AS INT)) & 1 AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM h, (SELECT unnest(range(64)) AS i) i
+              GROUP BY doc_id, i.i
+            ),
+            sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN 2*s >= n THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+                              ELSE 0 END) AS us
+              FROM bits GROUP BY doc_id
+            ),
+            sh AS (
+              -- keep the unsigned form for the xor (a negative BIGINT
+              -- cannot CAST to UBIGINT in DuckDB — range-checked)
+              SELECT doc_id, CAST(us AS UBIGINT) AS uh FROM sig
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.uh, b.uh)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.uh, b.uh)) <= 3""",
 
         # documents text is ASCII (verified: max char code 121), so ord()
         # per char == utf-8 byte; the engine's prefix-sum byte mean is an

@@ -122,6 +122,50 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     return out
 
 
+def run_salted(sf_dir: str, cpus: str) -> dict:
+    """Exercise the salted candidate join under real skew: 80% of points
+    are clamped into a ~2 m square (one hot cell), then the cell join runs
+    (a) broadcast — immune to skew by construction, the default;
+    (b) plain shuffle join — the hot cell pins one partition;
+    (c) shuffle join with explicit hot-cell salting (salt_hot_cells=8).
+    Reported for the north-rule skew story alongside the plan assertions
+    in tests/test_plans_salting.py."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from st_mapmatching_spark.operators.candidates import (candidate_join,
+                                                           network_frames)
+    from st_mapmatching_spark.session import get_spark
+    from st_mapmatching_spark.sources import derived as D
+
+    spark = get_spark(cores=cpus, app=f"bench-salted-{cpus}")
+    points = D.derive_points(spark, sf_dir)
+    hot = F.pmod(F.col("event_id"), F.lit(5)) < 4
+    pts = points.select(
+        "url", "pid",
+        F.when(hot, F.col("x") * 0.001).otherwise(F.col("x")).alias("x"),
+        F.when(hot, F.col("y") * 0.001).otherwise(F.col("y")).alias("y")).persist()
+    n = pts.count()
+    idx, attrs = network_frames(spark, entry._net())
+    variants = {
+        "broadcast": dict(broadcast_index=True),
+        "shuffle": dict(broadcast_index=False),
+        "shuffle_salted": dict(broadcast_index=False, salt_hot_cells=8,
+                               hot_threshold=10_000),
+    }
+    times, rows = {}, {}
+    for name, kw in variants.items():
+        df = candidate_join(pts, idx, attrs, entry.CFG, net=entry._net(), **kw)
+        df.count()                      # warm-up (codegen+broadcast build)
+        t0 = time.perf_counter()
+        rows[name] = candidate_join(pts, idx, attrs, entry.CFG,
+                                    net=entry._net(), **kw).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    assert len(set(rows.values())) == 1, f"variants disagree: {rows}"
+    spark.stop()
+    return {"metric": "salted_join_sec", "n_points": n, "cpus": int(cpus),
+            "rows": rows["broadcast"], "times": times}
+
+
 def host_probe(lo: int = 8, hi: int = 32) -> dict:
     """Host-state self-report: aggregate memory-stream and cache-resident
     compute throughput at lo/hi processes. On a healthy host both scale
@@ -169,6 +213,12 @@ def main():
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "64"))
         print(json.dumps(run_scaling_leg(sf_dir, cpus, mult)))
+        return
+
+    if "--salted" in sys.argv:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        print(json.dumps(run_salted(sf_dir, cpus)))
         return
 
     if "--probe" in sys.argv:

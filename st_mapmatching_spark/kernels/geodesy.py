@@ -92,10 +92,20 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
 
 def point_to_chord_dist(px, py, ax, ay, bx, by) -> np.ndarray:
     """Distance from point X to the chord A-B via Heron's formula
-    (distance.py:82-102). When A==B degenerates to point distance."""
-    a = np.hypot(np.asarray(bx) - ax, np.asarray(by) - ay)       # |AB|
-    b = np.hypot(np.asarray(px) - ax, np.asarray(py) - ay)       # |AX|
-    c = np.hypot(np.asarray(px) - bx, np.asarray(py) - by)       # |BX|
+    (distance.py:82-102). When A==B degenerates to point distance.
+
+    sqrt(dx*dx+dy*dy) instead of np.hypot deliberately: IEEE sqrt/mul/add
+    are correctly rounded (hypot is not), so a SQL twin of the DP
+    recursion reproduces every distance bitwise — ties and >= tolerance
+    decisions included."""
+    def _norm(dx, dy):
+        dx = np.asarray(dx, dtype=np.float64)
+        dy = np.asarray(dy, dtype=np.float64)
+        return np.sqrt(dx * dx + dy * dy)
+
+    a = _norm(np.asarray(bx) - ax, np.asarray(by) - ay)          # |AB|
+    b = _norm(np.asarray(px) - ax, np.asarray(py) - ay)          # |AX|
+    c = _norm(np.asarray(px) - bx, np.asarray(py) - by)          # |BX|
     p = (a + b + c) / 2.0
     s = np.sqrt(np.abs(p * (p - a) * (p - b) * (p - c)))
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -209,10 +209,19 @@ def osm_network_tables(spark: SparkSession, ways_pdf: pd.DataFrame,
     chain-combining windows partition by (way_id, dir), and the
     multi-edge resolution is one window over (src, dst) — no driver
     loops until the final (bounded) network materialization."""
-    ways = spark.createDataFrame(ways_pdf.assign(
-        chain=ways_pdf["nodes"].astype(str)))
-    nodes = spark.createDataFrame(nodes_pdf)
-    edges = spark.createDataFrame(edges_pdf)
+    # explicit schemas: tag columns (name/maxspeed/lanes/ctrl_type) are
+    # legitimately all-null on plain extracts, which row-wise inference
+    # (sessions without Arrow) cannot type
+    ways = spark.createDataFrame(
+        ways_pdf.assign(chain=ways_pdf["nodes"].astype(str)),
+        schema=("way_id long, highway string, link boolean, level long, "
+                "speed double, name string, oneway boolean, maxspeed long, "
+                "lanes long, nodes array<long>, src long, dst long, "
+                "chain string"))
+    nodes = spark.createDataFrame(
+        nodes_pdf, schema="nid long, x double, y double, ctrl_type string")
+    edges = spark.createDataFrame(
+        edges_pdf, schema="way_id long, order long, src long, dst long")
 
     # --- duplicate ways: same node chain -> keep lowest (level, way_id)
     # (parse_osm_xml.py:196-212; duplicates share src/dst by definition)
