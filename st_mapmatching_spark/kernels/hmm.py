@@ -272,12 +272,22 @@ def finalize_scores(gt: pd.DataFrame, edge_coords: dict, dir_trans: bool,
 
 def _prune(pid_0, eid_0, eid_1, prob, level: int, prev_scores: dict, cfg: MatchConfig):
     """One beam-prune step (viterbi.py:17-69). Returns (eid_1 winners,
-    eid_0 back-pointers, probs) in pop order."""
+    eid_0 back-pointers, probs) in pop order.
+
+    ``prev_scores`` may be a dict {eid: prob} (oracle path) or a
+    (sorted_eids, probs) array pair (the fused matcher's array state) —
+    lookups with default 1.0 either way."""
     if level < cfg.prune_start_layer:
         order = np.lexsort((eid_0, eid_1, -prob))
         cap = len(order)
     else:
-        ps = np.array([prev_scores.get(int(e), 1.0) for e in eid_0]) * prob
+        if isinstance(prev_scores, tuple):
+            pe, pp = prev_scores
+            loc = np.searchsorted(pe, eid_0)
+            ok = (loc < len(pe)) & (pe[np.minimum(loc, len(pe) - 1)] == eid_0)
+            ps = np.where(ok, pp[np.minimum(loc, len(pe) - 1)], 1.0) * prob
+        else:
+            ps = np.array([prev_scores.get(int(e), 1.0) for e in eid_0]) * prob
         if len(ps) == 0 or not np.isfinite(np.nanmax(ps)):
             thred = -np.inf
         else:
@@ -286,17 +296,16 @@ def _prune(pid_0, eid_0, eid_1, prob, level: int, prev_scores: dict, cfg: MatchC
         order = keep[np.lexsort((eid_0[keep], eid_1[keep], -prob[keep]))]
         cap = cfg.beam_cap
 
-    win_e1, win_e0, win_p = [], [], []
-    seen = set()
-    for j in order[:cap]:
-        e1 = int(eid_1[j])
-        if e1 in seen:
-            continue
-        seen.add(e1)
-        win_e1.append(e1)
-        win_e0.append(int(eid_0[j]))
-        win_p.append(float(prob[j]))
-    return win_e1, win_e0, win_p
+    # first occurrence per eid_1 within order[:cap], in pop order — the
+    # array form of the loop-with-seen-set (np.unique's return_index is
+    # the first occurrence because the mergesort tie-break is positional)
+    head = order[:cap]
+    if len(head) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0)
+    _, first = np.unique(eid_1[head], return_index=True)
+    first.sort()
+    win = head[first]
+    return eid_1[win], eid_0[win], prob[win]
 
 
 def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = MatchConfig()):
@@ -311,11 +320,20 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
     d0 = cands.dist_p2c.to_numpy()[m0]
     e0_ = c_eid[m0]
     o0 = cands.observ_prob.to_numpy()[m0]
-    ordr = np.lexsort((e0_, d0))  # deterministic dict order (dist, eid)
-    start = {int(e0_[i]): float(o0[i]) for i in ordr}
-    f_score = [dict(start)]
-    prev_path = {0: {st: None for st in start}}
-    prev_states = set(start)
+    ordr = np.lexsort((e0_, d0))  # deterministic insertion order (dist, eid)
+
+    # per-layer state as arrays instead of dicts (the dict build + per-edge
+    # .get() calls were ~half the decode cost at 25-pair layers):
+    #   ins_e1/ins_p — winners in pop (insertion) order, for the walk's
+    #                  first-max tie-break;  bp — back-pointer eid_0s;
+    #   srt_e1/srt_p — eid-sorted copies for O(log n) lookups.
+    # layer-0 candidates are unique per eid already (one row per (pid,eid))
+    ins_e1 = [e0_[ordr].astype(np.int64)]
+    ins_p = [o0[ordr].astype(np.float64)]
+    back_ptr = [None]
+    srt = np.argsort(ins_e1[0], kind="stable")
+    srt_e1 = [ins_e1[0][srt]]
+    srt_p = [ins_p[0][srt]]
 
     # one numpy materialization, sliced per layer (pandas per-layer ops are
     # the profile hotspot at millions of trajectories)
@@ -331,49 +349,68 @@ def viterbi_beam(cands: pd.DataFrame, gt: pd.DataFrame, cfg: MatchConfig = Match
         g_e0 = g_e1 = g_pid0
         g_tp = np.array([], dtype=np.float64)
 
+    empty_i = np.empty(0, np.int64)
+    empty_f = np.empty(0, np.float64)
     for idx, lvl in enumerate(layer_ids[:-1]):
         lo = np.searchsorted(g_pid0, lvl, side="left")
         hi = np.searchsorted(g_pid0, lvl, side="right")
         if lo == hi:
-            f_score.append({})
-            prev_states = set()
+            ins_e1.append(empty_i); ins_p.append(empty_f)
+            back_ptr.append(empty_i)
+            srt_e1.append(empty_i); srt_p.append(empty_f)
             continue
         e0 = g_e0[lo:hi]
-        fprev = f_score[-1]
-        prev = np.array([fprev.get(int(e), np.nan) for e in e0], dtype=np.float64)
-        sel_mask = ~np.isnan(prev) if prev_states else np.zeros(hi - lo, dtype=bool)
-        if not sel_mask.any():
+        pe, pp = srt_e1[-1], srt_p[-1]
+        loc = np.minimum(np.searchsorted(pe, e0), max(len(pe) - 1, 0))
+        cand = pp[loc] if len(pe) else np.full(hi - lo, np.nan)
+        # a NaN-prob winner counts as MISSING here (the dict form surfaced
+        # it as NaN through .get and the ~isnan mask dropped it)
+        ok = (pe[loc] == e0) & ~np.isnan(cand) if len(pe) \
+            else np.zeros(hi - lo, dtype=bool)
+        if not ok.any():
             # HMM break: restart with prev prob = 1 over the full layer
             # (viterbi.py:122-126)
             sel = slice(None)
             prev = np.ones(hi - lo, dtype=np.float64)
         else:
-            sel = sel_mask
-            prev = prev[sel_mask]
+            sel = ok
+            prev = cand[ok]
 
         prob = prev * g_tp[lo:hi][sel]
         win_e1, win_e0, win_p = _prune(
             g_pid0[lo:hi][sel], g_e0[lo:hi][sel], g_e1[lo:hi][sel],
-            prob, idx, f_score[-1], cfg)
+            prob, idx, (srt_e1[-1], srt_p[-1]), cfg)
 
-        prev_path[idx + 1] = {e1: (idx, e0) for e1, e0 in zip(win_e1, win_e0)}
-        f_score.append(dict(zip(win_e1, win_p)))
-        prev_states = set(win_e1)
+        ins_e1.append(win_e1.astype(np.int64))
+        ins_p.append(win_p.astype(np.float64))
+        back_ptr.append(win_e0.astype(np.int64))
+        srt = np.argsort(win_e1, kind="stable")
+        srt_e1.append(win_e1[srt].astype(np.int64))
+        srt_p.append(win_p[srt].astype(np.float64))
 
     # ------------------------------------------------------------------ walk
     epath, state, end_probs = [], None, []
-    for idx in range(len(f_score) - 1, 0, -1):
+    for idx in range(len(ins_e1) - 1, 0, -1):
+        le1, lp_, lbp = ins_e1[idx], ins_p[idx], back_ptr[idx]
         if state is None:
-            f = f_score[idx]
-            if not f:
+            if len(le1) == 0:
                 continue
-            state = max(f, key=f.get)
-            end_probs.append(f[state])
+            # max(f, key=f.get) on the insertion-order dict: Python's max
+            # keeps the FIRST maximum and never replaces the incumbent on
+            # a NaN comparison — so a NaN in slot 0 wins outright, and
+            # NaNs elsewhere never win
+            if np.isnan(lp_[0]):
+                k = 0
+            else:
+                k = int(np.argmax(np.where(np.isnan(lp_), -np.inf, lp_)))
+            state = int(le1[k])
+            end_probs.append(float(lp_[k]))
         cur = (idx, state)
-        if idx not in prev_path or state not in prev_path[idx]:
+        hitpos = np.flatnonzero(le1 == state)
+        if len(hitpos) == 0:
             state = None
             continue
-        prev = prev_path[idx][state]
+        prev = (idx - 1, int(lbp[hitpos[0]]))
         if not epath or cur != epath[-1]:
             epath.append(cur)
         epath.append(prev)
@@ -473,6 +510,53 @@ def viterbi_classic(cands: pd.DataFrame, gt: pd.DataFrame,
     rlist = pd.DataFrame({"pid": [p for p, _ in path[end_state]],
                           "eid": [e for _, e in path[end_state]]})
     return end_prob, rlist
+
+
+class _ACol:
+    """Array-backed stand-in for a pandas column (decode/stitch only call
+    .to_numpy())."""
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+    def to_numpy(self, dtype=None, copy=False):
+        if dtype is None:
+            return self.a
+        return self.a.astype(dtype, copy=copy)
+
+
+class ColFrame:
+    """Minimal DataFrame stand-in over a dict of aligned numpy arrays.
+
+    decode_sequence / viterbi_* / stitch_path only read columns by
+    attribute and call .to_numpy() — the fused matcher feeds them
+    zero-copy slices of batch-level arrays through this shim instead of
+    constructing a fresh pandas frame per trajectory (measured ~2.3 ms of
+    pure BlockManager work per group). pandas inputs keep working: these
+    functions use the exact attribute surface this class provides."""
+    __slots__ = ("_d",)
+
+    def __init__(self, d: dict):
+        self._d = d
+
+    def __getattr__(self, k):
+        try:
+            return _ACol(self._d[k])
+        except KeyError:
+            raise AttributeError(k)
+
+    @property
+    def columns(self):
+        return list(self._d)
+
+    def __len__(self):
+        d = self._d
+        return len(next(iter(d.values()))) if d else 0
+
+    @property
+    def empty(self):
+        return len(self) == 0
 
 
 def decode_sequence(cands: pd.DataFrame, gt: pd.DataFrame,

@@ -443,64 +443,80 @@ def fused_match(spark: SparkSession, cands: DataFrame,
     dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
     gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
 
-    def one(cpdf: pd.DataFrame) -> dict:
-        """One url's candidate rows, pre-sorted by (pid, dist_p2c, eid) —
-        the layer coordinates ride on the candidate rows themselves (every
-        candidate of a pid carries the point's x, y)."""
-        from ..kernels.dir_stats import engine_dir_probs
-        url = cpdf.url.iat[0]
-        base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES, "epath": None,
-                "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
-                "avg_speed": np.nan, "prob": np.nan, "norm_prob": np.nan,
-                "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
-        c_pid = cpdf.pid.to_numpy()
-        layer_ids, first_idx = np.unique(c_pid, return_index=True)
-        if len(layer_ids) == 1:
-            # rows are sorted (dist_p2c, eid) within the layer
-            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(cpdf.eid.iat[0])])
-            return base
+    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Score EVERY trajectory in the Arrow batch in one set of numpy
+        passes (projection, emission, layer params, pair cross-product,
+        flags, sp gather, dist/dir probs), then run only the genuinely
+        sequential decode + stitch per trajectory over zero-copy slices.
 
-        # ---- layer params between consecutive candidate layers ----
-        # (the oracle's own kernel, candidatesGraph.py:14-56 semantics)
-        lp = pd.DataFrame({"pid": layer_ids,
-                           "x": cpdf.x.to_numpy()[first_idx],
-                           "y": cpdf.y.to_numpy()[first_idx]})
-        lpdf = hmm.layer_params(lp)  # pid_0, pid_1, d_euc, move_dir
-        starts = np.searchsorted(c_pid, lpdf.pid_0.to_numpy())
-        ends = np.searchsorted(c_pid, lpdf.pid_0.to_numpy(), side="right")
-        starts1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy())
-        ends1 = np.searchsorted(c_pid, lpdf.pid_1.to_numpy(), side="right")
-        # per-layer cross product, fully vectorized: row j of layer k maps
-        # to (left = starts[k] + j // nr[k], right = starts1[k] + j % nr[k])
-        nl = ends - starts
-        nr = ends1 - starts1
-        tot = nl * nr
-        K = np.repeat(np.arange(len(lpdf), dtype=np.int64), tot)
-        off = np.cumsum(tot) - tot                      # exclusive prefix
-        j = np.arange(int(tot.sum()), dtype=np.int64) - off[K]
-        L = starts[K] + j // nr[K]
-        R = starts1[K] + j % nr[K]
+        The previous shape ran the whole chain per url; at ~50-point
+        trajectories the fixed per-call numpy/pandas overhead was ~12 of
+        ~18 core-ms per group (profiled) — the kernels themselves are
+        identical, row-for-row, so the numbers are bitwise unchanged (the
+        parity suite pins this)."""
+        from ..kernels.dir_stats import engine_dir_probs
+        from ..kernels.geodesy import bearing_deg
+        from ..kernels.linear_ref import project_core
+
+        u = pdf.url.to_numpy()
+        n = len(pdf)
+        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+        g_start, g_end = bounds[:-1], bounds[1:]
+        ngroups = len(g_start)
+        gid = np.repeat(np.arange(ngroups), g_end - g_start)
+
+        pid = pdf.pid.to_numpy()
+        eid = pdf.eid.to_numpy()
+        x = pdf.x.to_numpy()
+        y = pdf.y.to_numpy()
+        distp = pdf.dist_p2c.to_numpy()
 
         # per-candidate attrs + cut params re-derived from the broadcast
         # network (bitwise-identical to the refine stage's project_core)
-        from ..kernels.linear_ref import project_core
         eids_sorted, mat, src_a, dst_a, dist_a, speed_a = geom_bc.value
-        eid = cpdf.eid.to_numpy()
         di = np.searchsorted(eids_sorted, eid)
-        pr = project_core(np.stack([cpdf.x.to_numpy(), cpdf.y.to_numpy()], axis=1),
-                          mat[di])
+        pr = project_core(np.stack([x, y], axis=1), mat[di])
         len0, len1 = pr["len0"], pr["len1"]
         segi, rat = pr["seg_idx"], pr["ratio"]
         src, dst = src_a[di], dst_a[di]
         dist, speed = dist_a[di], speed_a[di]
-        # recompute the emission with the shared numpy kernel: the JVM
-        # exp/sqrt in candidate_join differ from numpy's in the last ulp,
-        # which flips knife-edge decode ties between twin edges — every
-        # float entering the decode must come from one library
-        dens = hmm.gaussian_emission(cpdf.dist_p2c.to_numpy(), gps_sigma, gps_bias)
-        obs = hmm.observ_prob_from_density(dens, dens.max())
-        cpdf = cpdf.assign(src=src, dst=dst, len0=len0, len1=len1,
-                           observ_prob=obs)
+
+        # emission recomputed with the shared numpy kernel (the JVM
+        # exp/sqrt differ in the last ulp — every float entering the
+        # decode must come from one library); per-group max via reduceat
+        # divides by the exact same scalar the per-group code used
+        dens = hmm.gaussian_emission(distp, gps_sigma, gps_bias)
+        gmax = np.maximum.reduceat(dens, g_start)
+        obs = hmm.observ_prob_from_density(dens, gmax[gid])
+
+        # ---- layers: first row of each (url, pid) run ----
+        newlayer = np.concatenate(
+            [[True], (pid[1:] != pid[:-1]) | (u[1:] != u[:-1])])
+        lay_row = np.flatnonzero(newlayer)          # head row of each layer
+        lay_gid = gid[lay_row]
+        lay_pid = pid[lay_row]
+        lay_end = np.concatenate([lay_row[1:], [n]])
+
+        # consecutive-layer params within each group
+        # (candidatesGraph.py:14-56 semantics — layer_params' exact ops)
+        p0 = np.flatnonzero(lay_gid[1:] == lay_gid[:-1])
+        dx = x[lay_row[p0 + 1]] - x[lay_row[p0]]
+        dy = y[lay_row[p0 + 1]] - y[lay_row[p0]]
+        d_euc_l = np.sqrt(dx * dx + dy * dy)
+        move_dir_l = np.atleast_1d(bearing_deg(
+            x[lay_row[p0]], y[lay_row[p0]], x[lay_row[p0 + 1]], y[lay_row[p0 + 1]]))
+
+        # ---- pair cross-product over all layer pairs of all groups ----
+        # row j of pair-layer k -> (left = start + j // nr, right = start1
+        # + j % nr): identical enumeration order to the per-group code
+        nl = (lay_end - lay_row)[p0]
+        nr = (lay_end - lay_row)[p0 + 1]
+        tot = nl * nr
+        K = np.repeat(np.arange(len(p0), dtype=np.int64), tot)
+        off = np.cumsum(tot) - tot                  # exclusive prefix
+        j = np.arange(int(tot.sum()), dtype=np.int64) - off[K]
+        L = lay_row[p0][K] + j // nr[K]
+        R = lay_row[p0 + 1][K] + j % nr[K]
 
         e0, e1 = eid[L], eid[R]
         dist_0 = dist[L]
@@ -526,7 +542,6 @@ def fused_match(spark: SparkSession, cands: DataFrame,
 
         # ---- sp attach: one vectorized binary-search gather ----
         spd = sp_bc.value
-        n_rows = len(L)
         pos, hit = spd.locate(o_node, d_node)
         cost = np.where(hit, spd.cost[pos], np.inf)
         path_speed = np.where(hit, spd.path_speed[pos], 0.0)
@@ -535,8 +550,8 @@ def fused_match(spark: SparkSession, cands: DataFrame,
         pw = np.where(hit, spd.pw[pos], 0.0)
         pn_path = np.where(hit, spd.pn[pos], 0)
         has_path = hit & spd.has_path[pos]
-        d_euc = lpdf.d_euc.to_numpy()[K]
-        move_dir = lpdf.move_dir.to_numpy()[K]
+        d_euc = d_euc_l[K]
+        move_dir = move_dir_l[K]
 
         avg_speed, d_sht, dist_prob, _ = hmm.score_base_np(
             cost, step_0_len, step_n_len, speed[L], speed[R], path_speed,
@@ -553,22 +568,44 @@ def fused_match(spark: SparkSession, cands: DataFrame,
         else:
             trans_prob = dist_prob
 
-        gt = pd.DataFrame({
-            "pid_0": lpdf.pid_0.to_numpy()[K], "eid_0": e0, "eid_1": e1,
-            "flag": flag, "observ_prob": obs[R], "trans_prob": trans_prob,
-            "dist_prob": dist_prob, "d_sht": d_sht, "avg_speed": avg_speed,
-            "o_node": o_node, "d_node": d_node})
-        end_prob, rlist = hmm.decode_sequence(cpdf, gt, cfg)
-        res = hmm.stitch_path(rlist, gt, cpdf, end_prob, cfg, dir_trans,
-                              epath_lookup=spd.epath_of)
-        base.update(res)
-        return base
+        gt_cols = {"pid_0": lay_pid[p0][K], "eid_0": e0, "eid_1": e1,
+                   "flag": flag, "observ_prob": obs[R],
+                   "trans_prob": trans_prob, "dist_prob": dist_prob,
+                   "d_sht": d_sht, "avg_speed": avg_speed,
+                   "o_node": o_node, "d_node": d_node}
+        cand_cols = {"pid": pid, "eid": eid, "dist_p2c": distp,
+                     "observ_prob": obs, "len0": len0, "len1": len1}
+        pair_gid = lay_gid[p0][K]
+        # multi-layer groups in batch order + their pair-table spans
+        multi = np.unique(pair_gid)
+        plo = np.searchsorted(pair_gid, multi, side="left")
+        phi = np.searchsorted(pair_gid, multi, side="right")
+        pair_span = {int(g): (int(a), int(b)) for g, a, b in zip(multi, plo, phi)}
 
-    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
-        u = pdf.url.to_numpy()
-        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
-        return pd.DataFrame([one(pdf.iloc[s:e])
-                             for s, e in zip(bounds[:-1], bounds[1:])])
+        # ---- per-trajectory decode + stitch over zero-copy slices ----
+        rows = []
+        for g in range(ngroups):
+            s, e = int(g_start[g]), int(g_end[g])
+            base = {"url": u[s], "status": hmm.STATUS_NO_CANDIDATES,
+                    "epath": None, "step_0": np.nan, "step_n": np.nan,
+                    "dist": np.nan, "avg_speed": np.nan, "prob": np.nan,
+                    "norm_prob": np.nan, "dist_prob": np.nan,
+                    "trans_prob": np.nan, "dir_prob": np.nan}
+            if g not in pair_span:
+                # single candidate layer -> nearest edge (rows are sorted
+                # (dist_p2c, eid) within the layer)
+                base.update(status=hmm.STATUS_ONE_POINT, epath=[int(eid[s])])
+                rows.append(base)
+                continue
+            ps, pe = pair_span[g]
+            cands_g = hmm.ColFrame({k: v[s:e] for k, v in cand_cols.items()})
+            gt_g = hmm.ColFrame({k: v[ps:pe] for k, v in gt_cols.items()})
+            end_prob, rlist = hmm.decode_sequence(cands_g, gt_g, cfg)
+            res = hmm.stitch_path(rlist, gt_g, cands_g, end_prob, cfg,
+                                  dir_trans, epath_lookup=spd.epath_of)
+            base.update(res)
+            rows.append(base)
+        return pd.DataFrame(rows)
 
     def op(batches):
         """Streamed group-by within the url-hash partition: batches are
