@@ -136,14 +136,22 @@ class Network:
         return self._dir_stats
 
     # -- derived relational structures ------------------------------------
-    def cell_index(self) -> pd.DataFrame:
+    def cell_index(self, pad: float = 0.0) -> pd.DataFrame:
         """(cell, eid) inverted index: every grid cell an edge's geometry
-        (conservatively) touches. The engine broadcasts this and equi-joins
-        exploded point covers against it — the Catalyst-friendly stand-in
-        for sindex.query_bulk (/root/reference/mapmatching/geo/query.py:92-97)."""
+        (conservatively) touches, optionally DILATED by ``pad`` meters.
+        The engine broadcasts this and equi-joins point cells against it —
+        the Catalyst-friendly stand-in for sindex.query_bulk
+        (/root/reference/mapmatching/geo/query.py:92-97).
+
+        With pad = search radius, a point's OWN cell alone finds every
+        edge within the radius (dist(p, e) <= r means p lies in a segment
+        bbox dilated by r, so p's cell intersects that padded box): the
+        point side needs no cover explode and each (point, edge) pair is
+        generated exactly once — the duplication moves into this (small,
+        broadcast) edge index instead of the (huge) point stream."""
         cells, eids = [], []
         for eid, g in self.edge_coords.items():
-            cs = polyline_cover_cells(g, self.cfg.cell_size)
+            cs = polyline_cover_cells(g, self.cfg.cell_size, pad=pad)
             cells.append(cs)
             eids.append(np.full(len(cs), eid, dtype=np.int64))
         return pd.DataFrame({"cell": np.concatenate(cells), "eid": np.concatenate(eids)})

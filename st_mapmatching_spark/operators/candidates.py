@@ -13,8 +13,10 @@ normalized by the per-trajectory max
 Scale notes (100 TB / 10^12 pages):
 * the pages scan only reads (url, text) — column pruning at the parquet
   scan; `warc_ts` partition pruning applies upstream.
-* points explode to <= 4 cover cells each (cell_size >= radius), so the
-  join input is ~4x points, not quadratic.
+* each point probes exactly ONE cell against the radius-dilated edge
+  index, so the join input is 1x points (duplication lives in the small
+  broadcast index, never the point stream) and every candidate pair is
+  generated once.
 * the cell index is broadcast when small (city/regional networks); for a
   planet network pass broadcast_index=False to shuffle-hash join on
   `cell` — AQE's skew-join splits hot urban cells, and a salting map can
@@ -182,8 +184,11 @@ def rehydrate_cands(cands_slim: DataFrame, net: Network) -> DataFrame:
 
 
 def network_frames(spark: SparkSession, net: Network):
-    """(cell_index_df, edge_attrs_df) as Spark DataFrames."""
-    idx = spark.createDataFrame(net.cell_index())
+    """(cell_index_df, edge_attrs_df) as Spark DataFrames. The cell index
+    is dilated by the search radius (see Network.cell_index): the point
+    side of the candidate join probes only its OWN cell, so each
+    (point, edge) pair is generated exactly once."""
+    idx = spark.createDataFrame(net.cell_index(pad=net.cfg.radius))
     attrs = spark.createDataFrame(
         net.edge_attrs(),
         schema=("eid long, src long, dst long, way_id long, dir int, "
@@ -199,25 +204,24 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                    hot_sample_frac: float | None = None) -> DataFrame:
     """points(url,pid,x,y metric) x edges -> candidates with projection.
 
-    Plan: explode each point's +-radius box into its <= 4 cover cells
-    (JVM-side sequence+explode), equi-join the broadcast cell->eid index,
-    de-dup (url,pid,eid), attach edge attrs, refine with the exact
+    Plan: each point probes its OWN cell (pure column math, no explode)
+    against the radius-dilated cell->eid index (one broadcast equi-join,
+    one row per candidate pair by construction), refine with the exact
     linear-referencing kernel, filter by radius, cut top-k per point,
     attach observ_prob normalized per trajectory.
+
+    ``cell_index`` must be the radius-dilated index (network_frames).
+    The pre-dilation design exploded each point into its ~9 cover cells
+    and deduped (url,pid,eid) in-batch — 3x the Arrow rows through the
+    refine stage for the same candidate set (measured; the refine is the
+    cost driver of the whole candidate stage).
     """
     cs = cfg.cell_size
     r = cfg.radius
 
-    ix0 = F.floor((F.col("x") - r) / cs).cast("long")
-    ix1 = F.floor((F.col("x") + r) / cs).cast("long")
-    iy0 = F.floor((F.col("y") - r) / cs).cast("long")
-    iy1 = F.floor((F.col("y") + r) / cs).cast("long")
-
-    covered = (points
-               .withColumn("ix", F.explode(F.sequence(ix0, ix1)))
-               .withColumn("iy", F.explode(F.sequence(iy0, iy1)))
-               .withColumn("cell", cell_col(F.col("ix"), F.col("iy")))
-               .drop("ix", "iy"))
+    covered = points.withColumn(
+        "cell", cell_col(F.floor(F.col("x") / cs).cast("long"),
+                         F.floor(F.col("y") / cs).cast("long")))
 
     if broadcast_index:
         # broadcast join: no shuffle, so cell skew cannot concentrate work
@@ -271,12 +275,9 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         emitted; downstream stages re-derive everything else from the
         broadcast (Arrow boundary width is the measured cost driver).
 
-        Batch-local (url, pid, eid) dedupe runs FIRST: a point reaching an
-        edge through several cover cells duplicates the row ~3x, and those
-        duplicates are adjacent (explode preserves row order, urls arrive
-        contiguous) — dropping them here cuts both the projection work and
-        the downstream shuffle by the same factor. The global
-        dropDuplicates below still guards batch/partition splits."""
+        The dilated-index join emits each (url, pid, eid) pair exactly
+        once, so no in-batch dedupe is needed; the global dropDuplicates
+        below remains as a cheap post-filter invariant guard."""
         import pyarrow as pa
         eids_sorted, mat = padded_geoms.value
         for b in batches:
@@ -284,19 +285,6 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                 continue
             names = b.schema.names
             col = {n: b.column(i) for i, n in enumerate(names)}
-            u = col["url"].to_numpy(zero_copy_only=False)
-            uid = np.concatenate([[0], np.cumsum(u[1:] != u[:-1])])
-            pid_a = col["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
-            eid_a = col["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.lexsort((eid_a, pid_a, uid))
-            su, sp_, se = uid[order], pid_a[order], eid_a[order]
-            first = np.concatenate([[True], (su[1:] != su[:-1])
-                                    | (sp_[1:] != sp_[:-1])
-                                    | (se[1:] != se[:-1])])
-            if not first.all():
-                keep = np.sort(order[first])
-                b = b.take(pa.array(keep))
-                col = {n: b.column(i) for i, n in enumerate(names)}
             x = col["x"].to_numpy(zero_copy_only=False)
             y = col["y"].to_numpy(zero_copy_only=False)
             eid = col["eid"].to_numpy(zero_copy_only=False)
