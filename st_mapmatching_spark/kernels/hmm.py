@@ -283,9 +283,11 @@ def _prune(pid_0, eid_0, eid_1, prob, level: int, prev_scores: dict, cfg: MatchC
     else:
         if isinstance(prev_scores, tuple):
             pe, pp = prev_scores
-            loc = np.searchsorted(pe, eid_0)
-            ok = (loc < len(pe)) & (pe[np.minimum(loc, len(pe) - 1)] == eid_0)
-            ps = np.where(ok, pp[np.minimum(loc, len(pe) - 1)], 1.0) * prob
+            if len(pe):
+                loc = np.minimum(np.searchsorted(pe, eid_0), len(pe) - 1)
+                ps = np.where(pe[loc] == eid_0, pp[loc], 1.0) * prob
+            else:
+                ps = 1.0 * np.asarray(prob)
         else:
             ps = np.array([prev_scores.get(int(e), 1.0) for e in eid_0]) * prob
         if len(ps) == 0 or not np.isfinite(np.nanmax(ps)):
@@ -510,6 +512,211 @@ def viterbi_classic(cands: pd.DataFrame, gt: pd.DataFrame,
     rlist = pd.DataFrame({"pid": [p for p, _ in path[end_state]],
                           "eid": [e for _, e in path[end_state]]})
     return end_prob, rlist
+
+
+def viterbi_beam_lockstep(pl_gid, pair_off, pair_cnt, e0, e1, tp,
+                          l0_e, l0_p, l0_off, n_steps,
+                          cfg: MatchConfig = MatchConfig()):
+    """Beam Viterbi over MANY trajectories in lockstep — the batch twin of
+    viterbi_beam, decision-for-decision identical (the parity suite pins
+    fused-engine == per-group oracle exactly).
+
+    Instead of per-trajectory per-layer numpy calls on ~25-element arrays
+    (fixed call overhead dominated the decode at ~6 core-ms/trajectory),
+    step t of EVERY trajectory is processed in one set of array ops:
+    transition-pair layers are grouped by their within-trajectory step
+    index, state lookups use one composite-key searchsorted across all
+    active trajectories, and the beam prune (threshold, (-prob, e1, e0)
+    order, cap, first-per-e1 dedup) runs on the concatenated rows with
+    group-aware segmentation. The backward walk is likewise lockstep;
+    only the final epath list assembly is per-trajectory Python.
+
+    Inputs (all numpy, pair layers sorted group-major then step-ascending;
+    every consecutive-layer pair has >= 1 row — the fused matcher's pair
+    table guarantees this):
+      pl_gid          group id per pair-layer
+      pair_off/cnt    row span of each pair-layer in e0/e1/tp
+      e0, e1, tp      pair rows (tp = trans_prob * observ_prob)
+      l0_e, l0_p      layer-0 (pid == 0) start states, group-major, in
+                      (dist_p2c, eid) row order; l0_off: offsets (ng+1)
+      n_steps         transitions per group (= layer count - 1)
+
+    Returns per group: (end_prob, idx array, eid array) where idx is the
+    layer INDEX (caller maps to pids)."""
+    ng = len(n_steps)
+    maxT = int(n_steps.max()) if ng else 0
+    M = np.int64(max(int(e1.max(initial=0)), int(e0.max(initial=0)),
+                     int(l0_e.max(initial=0))) + 1)
+    NEG_INF = -np.inf
+
+    # step-major ordering of pair layers
+    t_of = np.concatenate([np.arange(c, dtype=np.int64)
+                           for c in np.diff(np.searchsorted(
+                               pl_gid, np.arange(ng + 1) - 0.5))]) \
+        if len(pl_gid) else np.empty(0, np.int64)
+    ord_kt = np.lexsort((pl_gid, t_of))
+    t_sorted = t_of[ord_kt]
+    t_starts = np.searchsorted(t_sorted, np.arange(maxT + 1))
+
+    # current winner state: insertion-order arrays + sorted lookup copy
+    w_grp = np.repeat(np.arange(ng, dtype=np.int64), np.diff(l0_off))
+    w_e1 = l0_e.astype(np.int64)
+    w_p = l0_p.astype(np.float64)
+    so = np.lexsort((w_e1, w_grp))
+    skey = w_grp[so] * M + w_e1[so]
+    svals = w_p[so]
+
+    steps = []  # per step: (wg, we1, wp, wb) winners in pop order
+    for t in range(maxT):
+        ks = ord_kt[t_starts[t]:t_starts[t + 1]]
+        cnts = pair_cnt[ks]
+        tot = int(cnts.sum())
+        base = np.repeat(np.cumsum(cnts) - cnts, cnts)
+        rows = np.repeat(pair_off[ks], cnts) + (np.arange(tot) - base)
+        rg = np.repeat(pl_gid[ks], cnts)
+        re0, re1, rtp = e0[rows], e1[rows], tp[rows]
+        rstarts = np.cumsum(cnts) - cnts
+
+        # previous-layer state lookup; a NaN-prob winner counts as MISSING
+        # for selection (but its NaN value flows into the prune threshold)
+        if len(skey):
+            rkey = rg * M + re0
+            loc = np.minimum(np.searchsorted(skey, rkey), len(skey) - 1)
+            mk = skey[loc] == rkey
+            val = svals[loc]
+        else:
+            mk = np.zeros(tot, dtype=bool)
+            val = np.full(tot, np.nan)
+        okm = mk & ~np.isnan(val)
+
+        hit = np.add.reduceat(okm, rstarts) > 0
+        restart_row = np.repeat(~hit, cnts)      # HMM break: prev prob 1
+        sel = okm | restart_row
+        prevv = np.where(restart_row, 1.0, val)
+
+        rs = np.flatnonzero(sel)
+        sgrp, se0, se1 = rg[rs], re0[rs], re1[rs]
+        prob = prevv[rs] * rtp[rs]
+        mk_sel, val_sel = mk[rs], val[rs]
+
+        step_groups = pl_gid[ks]                 # sorted, one per group
+        grank = np.searchsorted(step_groups, sgrp)
+
+        if t >= cfg.prune_start_layer:
+            ps = np.where(mk_sel, val_sel, 1.0) * prob
+            sstarts = np.searchsorted(sgrp, step_groups)
+            segmax = np.fmax.reduceat(ps, sstarts)   # == nanmax per group
+            thred = np.where(np.isfinite(segmax),
+                             segmax * cfg.prune_trim_factor, NEG_INF)
+            keep = prob >= thred[grank]
+            kk = np.flatnonzero(keep)
+            cap = cfg.beam_cap
+        else:
+            kk = np.arange(len(rs))
+            cap = 1 << 60
+
+        kg, kp = sgrp[kk], prob[kk]
+        order = kk[np.lexsort((se0[kk], se1[kk], -kp, kg))]
+        og = sgrp[order]
+        # positional rank within group -> cap, then first-per-(g, e1)
+        gpos = np.searchsorted(og, np.unique(og))
+        starts_of = np.repeat(gpos, np.diff(np.concatenate([gpos, [len(og)]])))
+        rank = np.arange(len(og)) - starts_of
+        capped = order[rank < cap]
+        ogc = sgrp[capped]
+        ckey = ogc * M + se1[capped]
+        _, first = np.unique(ckey, return_index=True)
+        first.sort()
+        win = capped[first]
+
+        wg = sgrp[win]
+        we1 = se1[win]
+        wp = prob[win]
+        wb = se0[win]
+        steps.append((wg, we1, wp, wb))
+
+        so = np.lexsort((we1, wg))
+        skey = wg[so] * M + we1[so]
+        svals = wp[so]
+
+    # ------------------------------------------------------- lockstep walk
+    S = np.full(ng, -1, dtype=np.int64)
+    ep_sum = np.zeros(ng)
+    ep_cnt = np.zeros(ng, dtype=np.int64)
+    rec = [None] * (maxT + 1)
+    for idx in range(maxT, 0, -1):
+        wg, we1, wp, wb = steps[idx - 1]
+        g_ids = np.flatnonzero(n_steps >= idx)
+        lo = np.searchsorted(wg, g_ids)
+        hi = np.searchsorted(wg, g_ids, side="right")
+        cnt = hi - lo
+
+        rsm = (S[g_ids] == -1) & (cnt > 0)
+        rsi = np.flatnonzero(rsm)
+        if len(rsi):
+            Wm = int(cnt[rsi].max())
+            mi = lo[rsi][:, None] + np.arange(Wm)[None, :]
+            valid = np.arange(Wm)[None, :] < cnt[rsi][:, None]
+            mi = np.minimum(mi, max(len(wp) - 1, 0))
+            pv = wp[mi]
+            # max(f, key=f.get): first max; a NaN incumbent in slot 0 wins
+            v = np.where(valid & ~np.isnan(pv), pv, NEG_INF)
+            k = np.argmax(v, axis=1)
+            k = np.where(np.isnan(wp[lo[rsi]]), 0, k)
+            pos0 = lo[rsi] + k
+            S[g_ids[rsi]] = we1[pos0]
+            ep_sum[g_ids[rsi]] += wp[pos0]
+            ep_cnt[g_ids[rsi]] += 1
+
+        eng = np.flatnonzero(S[g_ids] != -1)
+        if len(eng):
+            Wm = int(cnt[eng].max()) if len(eng) else 0
+            if Wm > 0:
+                mi = lo[eng][:, None] + np.arange(Wm)[None, :]
+                valid = np.arange(Wm)[None, :] < cnt[eng][:, None]
+                mi = np.minimum(mi, max(len(we1) - 1, 0))
+                eqm = valid & (we1[mi] == S[g_ids[eng]][:, None])
+                found = eqm.any(axis=1)
+                pos = np.argmax(eqm, axis=1)
+                prev_e0 = wb[np.minimum(lo[eng] + pos, max(len(wb) - 1, 0))]
+            else:
+                found = np.zeros(len(eng), dtype=bool)
+                prev_e0 = np.zeros(len(eng), dtype=np.int64)
+            rec[idx] = (g_ids[eng], S[g_ids[eng]].copy(),
+                        np.where(found, prev_e0, -1), found)
+            S[g_ids[eng]] = np.where(found, prev_e0, -1)
+
+    # ---------------------------------------- per-group epath assembly
+    # per-group sequences of (idx, cur, prev, found), idx descending
+    seqs: list[list] = [[] for _ in range(ng)]
+    for idx in range(maxT, 0, -1):
+        r = rec[idx]
+        if r is None:
+            continue
+        gg, cur, prev, fnd = r
+        for g, c, p, f in zip(gg.tolist(), cur.tolist(), prev.tolist(),
+                              fnd.tolist()):
+            seqs[g].append((idx, c, p, f))
+
+    out = []
+    for g in range(ng):
+        if ep_cnt[g] == 0:
+            out.append((0.0, np.empty(0, np.int64), np.empty(0, np.int64)))
+            continue
+        epath = []
+        for idx, c, p, f in seqs[g]:
+            if not f:
+                continue
+            cur = (idx, c)
+            if not epath or cur != epath[-1]:
+                epath.append(cur)
+            epath.append((idx - 1, p))
+        epath = epath[::-1]
+        end_prob = float(ep_sum[g] / ep_cnt[g])
+        out.append((end_prob,
+                    np.array([i for i, _ in epath], dtype=np.int64),
+                    np.array([e for _, e in epath], dtype=np.int64)))
+    return out
 
 
 class _ACol:

@@ -582,7 +582,31 @@ def fused_match(spark: SparkSession, cands: DataFrame,
         phi = np.searchsorted(pair_gid, multi, side="right")
         pair_span = {int(g): (int(a), int(b)) for g, a, b in zip(multi, plo, phi)}
 
-        # ---- per-trajectory decode + stitch over zero-copy slices ----
+        decoded = {}
+        if cfg.beam_search and len(multi):
+            # lockstep beam decode across every multi-layer trajectory
+            pl_gid_d = np.searchsorted(multi, lay_gid[p0])
+            n_steps = np.searchsorted(pl_gid_d, np.arange(len(multi)),
+                                      side="right") \
+                - np.searchsorted(pl_gid_d, np.arange(len(multi)))
+            m_mask = np.zeros(ngroups, dtype=bool)
+            m_mask[multi] = True
+            l0m = (pid == 0) & m_mask[gid]
+            l0_e = eid[l0m]
+            l0_p = obs[l0m]
+            l0_off = np.concatenate([[0], np.cumsum(np.bincount(
+                np.searchsorted(multi, gid[l0m]), minlength=len(multi)))])
+            dec = hmm.viterbi_beam_lockstep(
+                pl_gid_d, off, tot, e0, e1,
+                trans_prob * obs[R], l0_e, l0_p, l0_off, n_steps, cfg)
+            lay_lo = np.searchsorted(lay_gid, multi)
+            for gi, (end_prob, ridx, reid) in enumerate(dec):
+                g = int(multi[gi])
+                pids = lay_pid[lay_lo[gi] + ridx]
+                decoded[g] = (end_prob,
+                              hmm.ColFrame({"pid": pids, "eid": reid}))
+
+        # ---- per-trajectory decode (classic) / stitch over slices ----
         rows = []
         for g in range(ngroups):
             s, e = int(g_start[g]), int(g_end[g])
@@ -600,7 +624,10 @@ def fused_match(spark: SparkSession, cands: DataFrame,
             ps, pe = pair_span[g]
             cands_g = hmm.ColFrame({k: v[s:e] for k, v in cand_cols.items()})
             gt_g = hmm.ColFrame({k: v[ps:pe] for k, v in gt_cols.items()})
-            end_prob, rlist = hmm.decode_sequence(cands_g, gt_g, cfg)
+            if g in decoded:
+                end_prob, rlist = decoded[g]
+            else:
+                end_prob, rlist = hmm.decode_sequence(cands_g, gt_g, cfg)
             res = hmm.stitch_path(rlist, gt_g, cands_g, end_prob, cfg,
                                   dir_trans, epath_lookup=spd.epath_of)
             base.update(res)
