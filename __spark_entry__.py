@@ -96,6 +96,19 @@ def _cell_sql(x, y):
             f"+ (CAST(floor(({y}) / {D.CELL!r}) AS BIGINT) + {_CELL_OFF})")
 
 
+def _fnv_sql(expr: str) -> str:
+    """FNV-1a64 of an ASCII string expression as DuckDB SQL (list_reduce
+    over char codes in HUGEINT; exact — matches kernels used by SimHash
+    and the MinHash base hash byte-for-byte)."""
+    return (f"CAST(list_reduce("
+            f"list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+            f"list_transform(string_split({expr}, ''), "
+            f"c -> CAST(ord(c) AS HUGEINT))), "
+            f"(h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) "
+            f"* 1099511628211) % CAST(18446744073709551616 AS HUGEINT)"
+            f") AS UBIGINT)")
+
+
 def _chord_dist_sql(s="i.s", e="i.e", j="j"):
     """SQL twin of kernels.geodesy.point_to_chord_dist over a trajectory's
     list columns (1-based list indexing; operand order matches the numpy
@@ -517,6 +530,75 @@ def q_eval_lcss(spark, sf):
     points = simplify_trajs(extract_trajs(pages), CFG)
     return (eval_similarity(spark, matched, points, _net(), CFG, metric="lcss")
             .select("url", F.round("metric_value", 6).alias("lcss_r")))
+
+
+def _dedup_minhash_sql() -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs (k=3, 16 hashes, 8 bands of
+    2, bucket cap 200, jaccard >= 0.5). The affine constants come from the
+    engine module — one source of truth."""
+    from st_mapmatching_spark.operators.dedup import (MINHASH_A, MINHASH_B,
+                                                      MINHASH_P)
+    hf = ", ".join(f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(16))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS toks
+          FROM documents
+        ),
+        gr AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                 ELSE [''] END) AS grams
+          FROM tok
+        ),
+        g AS (SELECT doc_id, t.gram FROM gr, unnest(grams) AS t(gram)),
+        h AS (
+          SELECT doc_id, gram,
+                 CAST({_fnv_sql('gram')} & 2147483647 AS BIGINT) AS h31
+          FROM g
+        ),
+        hf(i, a, b) AS (VALUES {hf}),
+        sigs AS (
+          SELECT doc_id, hf.i AS i,
+                 MIN((hf.a * h31 + hf.b) % {MINHASH_P}) AS mv
+          FROM h, hf GROUP BY doc_id, hf.i
+        ),
+        sig AS (
+          SELECT doc_id, list(mv ORDER BY i) AS sig FROM sigs GROUP BY doc_id
+        ),
+        band AS (
+          SELECT doc_id, t.b AS band,
+                 sig[2*t.b + 1] * 2147483648 + sig[2*t.b + 2] AS bh
+          FROM sig, (SELECT unnest(range(8)) AS b) t
+        ),
+        capped AS (
+          SELECT * FROM (
+            SELECT doc_id, band, bh,
+                   COUNT(*) OVER (PARTITION BY band, bh) AS nb
+            FROM band) WHERE nb <= 200
+        ),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM capped l JOIN capped r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ),
+        nsz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT p.a, p.b, COUNT(*) AS ni
+          FROM pairs p
+          JOIN g ga ON ga.doc_id = p.a
+          JOIN g gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+          GROUP BY p.a, p.b
+        )
+        SELECT i.a, i.b,
+               round(i.ni / (na.n + nb.n - i.ni), 6) AS jaccard_r
+        FROM inter i
+        JOIN nsz na ON na.doc_id = i.a
+        JOIN nsz nb ON nb.doc_id = i.b
+        WHERE i.ni / (na.n + nb.n - i.ni) >= 0.5"""
 
 
 def _osm_fixture_xml() -> str:
@@ -1133,6 +1215,12 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS pid,
                    round(b.x, 6) AS x_r, round(b.y, 6) AS y_r
             FROM keep k JOIN base b ON b.url = k.url AND b.pid = k.pid""",
+
+        # full MinHash-LSH twin in SQL: the engine's whole construction is
+        # exact integer arithmetic by design (FNV-1a base hash, affine
+        # universal family mod 2^31-1, base-2^31 band keys, 200-cap
+        # buckets, exact gram-set jaccard) — reproduced verbatim
+        "dedup_minhash": _dedup_minhash_sql(),
 
         # full SimHash twin in SQL: FNV-1a(64) per whitespace token via
         # list_reduce over char codes (ASCII text, so ord == utf-8 byte;

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -54,12 +55,29 @@ def shingles_of_words(words: F.Column, k: int = 3) -> F.Column:
     return F.array_distinct(gram)
 
 
-def minhash_signature(shingles: F.Column, n_hashes: int = 32) -> F.Column:
-    """n_hashes-wide MinHash signature: min over shingles of a salted
-    xxhash64 per hash function — pure column arithmetic."""
-    sig = [F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-           for i in range(n_hashes)]
-    return F.array(*sig)
+# universal-hash family for MinHash: h_i(x) = (a_i * x31 + b_i) mod p over
+# the 31-bit fold of the FNV base hash. p = 2^31 - 1 keeps every product
+# below 2^62 (no int64 overflow under ANSI mode), and the whole family is
+# exact integer arithmetic DuckDB reproduces verbatim — the signature,
+# band keys, and pair set are SQL-oracle-checkable end to end. Constants
+# come from a fixed seed; regenerating them is a breaking change to every
+# persisted signature.
+MINHASH_P = 2147483647
+_mh_rng = np.random.RandomState(0x5EED)
+MINHASH_A = [int(x) for x in _mh_rng.randint(1, MINHASH_P, 64)]
+MINHASH_B = [int(x) for x in _mh_rng.randint(0, MINHASH_P, 64)]
+
+
+def minhash_signature(hashes: F.Column, n_hashes: int = 32) -> F.Column:
+    """n_hashes-wide MinHash signature over pre-hashed shingles
+    (array<long> FNV-1a64 values): min over shingles of each affine
+    universal hash — pure integer column arithmetic, no JVM hashing."""
+    def h_i(i):
+        return F.array_min(F.transform(
+            hashes,
+            lambda h: (F.lit(MINHASH_A[i]) * h.bitwiseAND(F.lit(MINHASH_P))
+                       + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)))
+    return F.array(*[h_i(i) for i in range(n_hashes)])
 
 
 def _tokenize_arrow(text_arr, lower_nul_to_space: bool = False):
@@ -175,9 +193,16 @@ def shingle_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             offs[1:] = np.cumsum(per_doc)
             sh = pa.ListArray.from_arrays(pa.array(offs),
                                           pa.array(pdf.g.to_numpy(), type=pa.string()))
-            yield pa.RecordBatch.from_arrays([pa.array(ids), sh], ["id", "sh"])
+            # FNV-1a64 of each distinct gram, vectorized off the string
+            # blob — the MinHash base hash (SQL-reproducible: the DuckDB
+            # oracle recomputes it with the same byte recurrence)
+            hv = _fnv1a64_vec(pdf.g.tolist()).astype(np.int64)
+            hs = pa.ListArray.from_arrays(pa.array(offs), pa.array(hv))
+            yield pa.RecordBatch.from_arrays([pa.array(ids), sh, hs],
+                                             ["id", "sh", "hs"])
 
-    return docs.select(id_col, text_col).mapInArrow(op, schema="id long, sh array<string>")
+    return docs.select(id_col, text_col).mapInArrow(
+        op, schema="id long, sh array<string>, hs array<long>")
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -196,16 +221,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     # self-join and the verify joins would otherwise recompute them 4x
     base = (shingle_docs(docs, id_col, text_col, k)
             .filter(F.size("sh") > 0)
-            .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+            .withColumn("sig", minhash_signature(F.col("hs"), n_hashes))
             .persist())
 
     # slim band keys only — shingle arrays never enter the band shuffle
+    # band key = base-2^31 positional encoding of the band's signature
+    # values (each < p < 2^31, so rows_per_band = 2 stays below 2^62) —
+    # exact arithmetic the SQL oracle reproduces, no hashing
+    def bkey(b):
+        key = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            key = key * F.lit(2147483648) + F.element_at("sig", b * rows_per_band + r + 1)
+        return key
     banded = base.select(
         "id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1)
-                                                   for r in range(rows_per_band)])).alias("bh"))
+            F.struct(F.lit(b).alias("band"), bkey(b).alias("bh"))
             for b in range(bands)])).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
