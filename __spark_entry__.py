@@ -500,6 +500,13 @@ def q_dedup_minhash(spark, sf):
         .select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_sim_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (SURVEY-extension family)."""
+    from st_mapmatching_spark.operators.similarity import cosine_neardup_pairs
+    return (cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
+            .select("a_id", "b_id", F.round("cosine", 6).alias("cos_r")))
+
+
 def q_dedup_simhash(spark, sf):
     from st_mapmatching_spark.operators.dedup import simhash_near_pairs
     return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
@@ -693,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_dot_pairs": q_sim_dot_pairs,
+        "sim_neardup": q_sim_neardup,
         # rows-only
         "match_grid": q_match_grid,
         "match_grid_classic": q_match_grid_classic,
@@ -974,6 +982,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(abs(o.nid % {D.G} - d.nid % {D.G})
                         + abs(o.nid // {D.G} - d.nid // {D.G}) AS INT) AS path_len
             FROM o CROSS JOIN d""",
+
+        "sim_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
 
         "sim_dot_pairs": """
             SELECT a.vec_id AS a_id,

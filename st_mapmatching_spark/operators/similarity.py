@@ -45,6 +45,23 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "c_id", "cosine", "rank"))
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold)
+    — the exactness baseline of the near-dup family (quadratic; use after
+    LSH/IVF blocking at scale, exactly like ngram_jaccard_pairs vs the
+    MinHash path)."""
+    a = embeddings.select(F.col(id_col).alias("a_id"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b_id"),
+                          F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))
+
+
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Driver-side Lloyd iterations on a sample — centroids for IVF."""
     rng = np.random.default_rng(seed)

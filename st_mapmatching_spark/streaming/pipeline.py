@@ -56,6 +56,65 @@ def stream_cell_counts(points: DataFrame, cfg: MatchConfig,
             .agg(F.count("*").alias("n_points")))
 
 
+SESSION_OUT = ("url string, n_points int, t_first long, t_last long, "
+               "xs array<double>, ys array<double>")
+SESSION_STATE = "pids array<long>, xs array<double>, ys array<double>, ts array<long>"
+
+
+def stream_sessionize(points: DataFrame, gap_minutes: int = 10,
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): accumulate a
+    url's GPS points across micro-batches and emit the completed
+    trajectory once no new point arrives within ``gap_minutes`` of event
+    time — the streaming session boundary a continuously-crawled corpus
+    needs before matching (the batch tables get this for free because a
+    page row carries its whole trajectory).
+
+    State is per-url coordinate arrays; the event-time timeout fires when
+    the watermark passes last-seen + gap, so late data within the
+    watermark still extends its session. Output rows carry the points
+    sorted by pid for deterministic downstream matching."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            pids, xs, ys, ts = state.get
+            state.remove()
+            order = sorted(range(len(pids)), key=lambda i: (pids[i], ts[i]))
+            yield pd.DataFrame([{
+                "url": key[0], "n_points": len(pids),
+                "t_first": min(ts), "t_last": max(ts),
+                "xs": [xs[i] for i in order], "ys": [ys[i] for i in order]}])
+            return
+        pids, xs, ys, ts = state.get if state.exists else ([], [], [], [])
+        pids, xs, ys, ts = list(pids), list(xs), list(ys), list(ts)
+        last_ms = 0
+        for pdf in pdfs:
+            pids += [int(v) for v in pdf.pid_raw]
+            xs += [float(v) for v in pdf.x]
+            ys += [float(v) for v in pdf.y]
+            ev = (pdf.warc_ts.astype("int64") // 1_000_000).tolist()
+            ts += [int(v) for v in ev]
+            if ev:
+                last_ms = max(last_ms, max(ev))
+        state.update((pids, xs, ys, ts))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame({"url": pd.Series([], dtype=str),
+                            "n_points": pd.Series([], dtype="int32"),
+                            "t_first": pd.Series([], dtype="int64"),
+                            "t_last": pd.Series([], dtype="int64"),
+                            "xs": pd.Series([], dtype=object),
+                            "ys": pd.Series([], dtype=object)})
+
+    return (points.withWatermark("warc_ts", watermark)
+            .groupBy("url")
+            .applyInPandasWithState(fn, SESSION_OUT, SESSION_STATE, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_match_batches(spark: SparkSession, pages: DataFrame, net, cfg: MatchConfig,
                          sink_fn):
     """foreachBatch bridge: run the full batch matcher on each micro-batch

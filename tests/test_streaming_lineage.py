@@ -163,3 +163,54 @@ def test_bucketed_exactly_once_zero_row_bucket(spark, tmp_path, monkeypatch):
     assert out.count() == 0  # no stale rows resurrected
     lin = runner.lineage("m").toPandas()
     assert lin.rows.sum() == 0
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: points of two urls arrive split
+    across two micro-batches; a later sentinel batch advances the
+    watermark past the session gap, which times the sessions out and
+    emits one completed trajectory per url, points merged across batches
+    and sorted by pid."""
+    import pandas as pd
+
+    from st_mapmatching_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "pts_in")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2023-11-14 00:00:00")
+
+    def mk(rows, fn):
+        df = pd.DataFrame(rows, columns=["url", "pid_raw", "x", "y",
+                                         "t_epoch", "warc_ts"])
+        # microsecond timestamps: Spark's TimestampType cannot read the
+        # INT64 nanos pandas writes by default
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(src, fn))
+
+    # batch 1: first half of a and b
+    mk([("a", 0, 0.0, 0.0, 0, t0), ("a", 1, 1.0, 0.0, 1, t0),
+        ("b", 0, 5.0, 5.0, 0, t0)], "b1.parquet")
+    # batch 2: second half, 1 minute later (inside the 10-min gap)
+    t1 = t0 + pd.Timedelta(minutes=1)
+    mk([("a", 2, 2.0, 0.0, 2, t1), ("b", 1, 6.0, 5.0, 1, t1)], "b2.parquet")
+    # batch 3: sentinel far in the future -> watermark passes a/b's
+    # timeout, sessions emit
+    mk([("c", 0, 9.0, 9.0, 0, t0 + pd.Timedelta(hours=5))], "b3.parquet")
+
+    schema = ("url string, pid_raw long, x double, y double, t_epoch long, "
+              "warc_ts timestamp")
+    pts = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = stream_sessionize(pts, gap_minutes=10, watermark="0 seconds")
+    q = (sess.writeStream.outputMode("append")
+         .format("memory").queryName("sessions_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.url: r for r in spark.sql("select * from sessions_out").collect()}
+    assert set(got) >= {"a", "b"}, f"sessions not emitted: {set(got)}"
+    assert got["a"].n_points == 3
+    assert list(got["a"].xs) == [0.0, 1.0, 2.0]   # merged across batches, pid order
+    assert got["b"].n_points == 2
+    assert list(got["b"].ys) == [5.0, 5.0]
