@@ -119,19 +119,22 @@ def extract_simplify(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
             xy_all = project_coords(pts[["x", "y"]].to_numpy(), lon0, lat0)
             u = pts.url.to_numpy()
             bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
-            keep_parts, urls, counts = [], [], []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                xy = xy_all[s:e]
-                idx = (simplify_points(xy, tolerance)
-                       if do_simplify and len(xy) > 1 else np.arange(len(xy)))
-                keep_parts.append(s + idx)
-                urls.append(u[s])
-                counts.append(len(idx))
-            keep = np.concatenate(keep_parts)
-            counts = np.array(counts)
+            starts, ends = bounds[:-1], bounds[1:]
+            if do_simplify:
+                # batched Douglas-Peucker: every pending interval of every
+                # trajectory evaluated per round (the per-trajectory
+                # recursion's call overhead was the stage's measured cost)
+                from ..kernels.simplify import simplify_points_batch
+                keepm = simplify_points_batch(xy_all, starts, ends, tolerance)
+            else:
+                keepm = np.ones(len(xy_all), dtype=bool)
+            counts = np.add.reduceat(keepm, starts)
+            keep = np.flatnonzero(keepm)
+            pid = (np.arange(len(keep)) -
+                   np.repeat(np.cumsum(counts) - counts, counts)).astype(np.int32)
             yield pd.DataFrame({
-                "url": np.repeat(np.array(urls, dtype=object), counts),
-                "pid": np.concatenate([np.arange(c, dtype=np.int32) for c in counts]),
+                "url": np.repeat(u[starts], counts),
+                "pid": pid,
                 "x": xy_all[keep, 0], "y": xy_all[keep, 1]})
 
     return pages.select("url", "text").mapInPandas(op, schema=POINTS_SCHEMA)

@@ -133,3 +133,29 @@ def test_emission():
     p = hmm.observ_prob_from_density(dens, dens.max())
     assert p[0] == pytest.approx(1.0)
     assert p[1] == pytest.approx(np.sqrt(np.exp(-0.5)))
+
+
+def test_dp_batch_equals_pergroup():
+    """simplify_points_batch must reproduce simplify_points per trajectory
+    exactly, including ties (quantized lateral noise makes equal chord
+    distances common) and the 2-point coincident collapse."""
+    import numpy as np
+    from st_mapmatching_spark.kernels.simplify import (simplify_points,
+                                                       simplify_points_batch)
+    rng = np.random.RandomState(7)
+    trajs = []
+    for t in range(200):
+        n = rng.randint(1, 60)
+        xs = np.cumsum(rng.choice([10.0, 20.0], size=n))
+        ys = rng.choice(np.arange(-20, 21, 5).astype(float), size=n)
+        if t % 17 == 0 and n >= 2:      # coincident 2-point case
+            xs, ys = np.array([5.0, 5.0]), np.array([1.0, 1.0])
+        trajs.append(np.stack([xs, ys], 1))
+    xy = np.concatenate(trajs)
+    lens = np.array([len(t) for t in trajs])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    got = simplify_points_batch(xy, starts, ends, tolerance=5.0)
+    for t, s in zip(trajs, starts):
+        exp = simplify_points(t, 5.0)
+        assert np.array_equal(np.flatnonzero(got[s:s + len(t)]), exp)
