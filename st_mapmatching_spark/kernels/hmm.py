@@ -806,11 +806,21 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
 
     r_pid = rlist.pid.to_numpy()
     r_eid = rlist.eid.to_numpy()
-    ck = {(int(p), int(e)): (float(l0), float(l1))
-          for p, e, l0, l1 in zip(cands.pid.to_numpy(), cands.eid.to_numpy(),
-                                  cands.len0.to_numpy(), cands.len1.to_numpy())}
-    f_l0, f_l1 = ck[(int(r_pid[0]), int(r_eid[0]))]
-    l_l0, l_l1 = ck[(int(r_pid[-1]), int(r_eid[-1]))]
+    # first/last cut params: two masked lookups instead of a dict over the
+    # whole candidate slice ((pid, eid) is unique per candidate row)
+    c_pid = cands.pid.to_numpy()
+    c_eid = cands.eid.to_numpy()
+    c_l0 = cands.len0.to_numpy()
+    c_l1 = cands.len1.to_numpy()
+
+    def _cut(p, e):
+        i = np.flatnonzero((c_pid == p) & (c_eid == e))
+        if not len(i):
+            raise KeyError((p, e))      # same failure class as the dict
+        return float(c_l0[i[0]]), float(c_l1[i[0]])
+
+    f_l0, f_l1 = _cut(int(r_pid[0]), int(r_eid[0]))
+    l_l0, l_l1 = _cut(int(r_pid[-1]), int(r_eid[-1]))
     res["step_0"] = f_l0 / (f_l0 + f_l1)
     res["step_n"] = l_l0 / (l_l0 + l_l1)
 
@@ -819,16 +829,36 @@ def stitch_path(rlist: pd.DataFrame, gt: pd.DataFrame, cands: pd.DataFrame,
         res["status"] = STATUS_FAILED if end_prob < cfg.prob_thres else STATUS_SAME_LINK
         return res
 
-    gk = {(int(p), int(a), int(b)): i for i, (p, a, b) in enumerate(
-        zip(gt.pid_0.to_numpy(), gt.eid_0.to_numpy(), gt.eid_1.to_numpy()))}
-    keys = [(int(r_pid[i]), int(r_eid[i]), int(r_eid[i + 1]))
-            for i in range(len(rlist) - 1)]
-    if any(k not in gk for k in keys):
+    # winning-step row lookup: rank-encode the (pid_0, eid_0, eid_1)
+    # triples and binary-search the whole key vector at once (the
+    # per-group dict build over every transition pair was the measured
+    # stitch hot spot; triples are unique, so first == the dict's last)
+    g_p = gt.pid_0.to_numpy()
+    g_a = gt.eid_0.to_numpy()
+    g_b = gt.eid_1.to_numpy()
+    pu, au, bu = np.unique(g_p), np.unique(g_a), np.unique(g_b)
+    code = ((np.searchsorted(pu, g_p).astype(np.int64) * len(au)
+             + np.searchsorted(au, g_a)) * len(bu) + np.searchsorted(bu, g_b))
+    corder = np.argsort(code, kind="stable")
+    csort = code[corder]
+    kp = r_pid[:-1].astype(np.int64)
+    ka = r_eid[:-1].astype(np.int64)
+    kb = r_eid[1:].astype(np.int64)
+    qp, qa, qb = (np.searchsorted(pu, kp), np.searchsorted(au, ka),
+                  np.searchsorted(bu, kb))
+    comp_ok = ((qp < len(pu)) & (pu[np.minimum(qp, len(pu) - 1)] == kp)
+               & (qa < len(au)) & (au[np.minimum(qa, len(au) - 1)] == ka)
+               & (qb < len(bu)) & (bu[np.minimum(qb, len(bu) - 1)] == kb))
+    qcode = (qp.astype(np.int64) * len(au) + qa) * len(bu) + qb
+    pos = np.minimum(np.searchsorted(csort, qcode), len(csort) - 1)
+    hit = comp_ok & (csort[pos] == qcode)
+    if not hit.all():
         # only reachable via the empty-lattice guard in viterbi_beam;
         # the reference raises here, we degrade to FAILED
         res["status"] = STATUS_FAILED
         return res
-    rows = np.array([gk[k] for k in keys], dtype=np.int64)
+    rows = corder[pos]
+    keys = list(zip(kp.tolist(), ka.tolist(), kb.tolist()))
     g_dsht = gt.d_sht.to_numpy(dtype=np.float64)[rows]
     g_speed = gt.avg_speed.to_numpy(dtype=np.float64)[rows]
     g_distp = gt.dist_prob.to_numpy(dtype=np.float64)[rows]
