@@ -186,12 +186,22 @@ def rehydrate_cands(cands_slim: DataFrame, net: Network) -> DataFrame:
     return cands_slim.mapInArrow(op, schema=url_typed(REHYDRATE_SCHEMA, cands_slim))
 
 
-def network_frames(spark: SparkSession, net: Network):
+def network_frames(spark: SparkSession, net: Network,
+                   cfg: MatchConfig | None = None):
     """(cell_index_df, edge_attrs_df) as Spark DataFrames. The cell index
     is dilated by the search radius (see Network.cell_index): the point
     side of the candidate join probes only its OWN cell, so each
-    (point, edge) pair is generated exactly once."""
-    idx = spark.createDataFrame(net.cell_index(pad=net.cfg.radius))
+    (point, edge) pair is generated exactly once.
+
+    If the caller will probe with a ``MatchConfig`` whose radius exceeds
+    the network's build-time radius, pass it here: the dilation pad is
+    ``max(net.cfg.radius, cfg.radius)``, and the pad is recorded on the
+    returned DataFrame so ``candidate_join`` can verify the index covers
+    its probe radius (an under-dilated index silently drops in-radius
+    candidates)."""
+    pad = max(net.cfg.radius, cfg.radius if cfg is not None else 0.0)
+    idx = spark.createDataFrame(net.cell_index(pad=pad))
+    idx._st_index_pad = pad  # noqa: SLF001 — plan metadata for candidate_join
     attrs = spark.createDataFrame(
         net.edge_attrs(),
         schema=("eid long, src long, dst long, way_id long, dir int, "
@@ -221,6 +231,12 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
     """
     cs = cfg.cell_size
     r = cfg.radius
+    idx_pad = getattr(cell_index, "_st_index_pad", None)
+    if idx_pad is not None and idx_pad < r:
+        raise ValueError(
+            f"cell index dilated by {idx_pad} m but probing with radius {r} m: "
+            "in-radius candidates would be silently missed — rebuild the index "
+            "with network_frames(spark, net, cfg)")
 
     covered = points.withColumn(
         "cell", cell_col(F.floor(F.col("x") / cs).cast("long"),

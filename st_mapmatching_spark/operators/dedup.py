@@ -217,6 +217,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     the 32-hash signature tips whole-stage codegen over janino limits
     (measured 4.6s vs 0.4s for 16)."""
     rows_per_band = n_hashes // bands
+    if rows_per_band > 2:
+        # base-2^31 positional band keys only fit int64 for <=2 rows/band
+        # ((2^31)^3 overflows and wraps, creating spurious collisions and
+        # breaking the exact-integer SQL-oracle parity)
+        raise ValueError(
+            f"n_hashes/bands = {rows_per_band} rows per band exceeds the "
+            "int64-exact limit of 2; raise `bands` or lower `n_hashes`")
     # shingle set + signature computed once and persisted: the banded
     # self-join and the verify joins would otherwise recompute them 4x
     base = (shingle_docs(docs, id_col, text_col, k)

@@ -715,7 +715,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                               F.col("url").alias("_url_str")).distinct()
     else:
         both = points = points_in.persist()
-    cell_index, edge_attrs = network_frames(spark, net)
+    cell_index, edge_attrs = network_frames(spark, net, cfg)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused).persist()
     pairs = full = sp = None

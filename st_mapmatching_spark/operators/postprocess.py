@@ -141,7 +141,7 @@ def match_details(spark: SparkSession, pages: DataFrame, net: Network,
     from .shortest_paths import shortest_path_table
 
     points = extract_simplify(pages, cfg)
-    cell_index, edge_attrs = network_frames(spark, net)
+    cell_index, edge_attrs = network_frames(spark, net, cfg)
     cands = candidate_join(points, cell_index, edge_attrs, cfg, net=net)
     pairs = build_pairs_df(cands, points, cfg)
     sp = shortest_path_table(spark, pairs.select("o_node", "d_node"), net, cfg)

@@ -95,6 +95,6 @@ def knn_edges(spark: SparkSession, points: DataFrame, net: Network,
     """kNN candidate search exposed as a standalone API (the core join of
     SURVEY.md §2.3, reused outside matching)."""
     from .candidates import candidate_join, network_frames
-    idx, attrs = network_frames(spark, net)
     c = cfg if k is None else MatchConfig(**{**cfg.__dict__, "top_k": k})
+    idx, attrs = network_frames(spark, net, c)
     return candidate_join(points, idx, attrs, c, net=net)

@@ -101,6 +101,12 @@ def stream_sessionize(points: DataFrame, gap_minutes: int = 10,
             if ev:
                 last_ms = max(last_ms, max(ev))
         state.update((pids, xs, ys, ts))
+        # Timeout anchors on the session's LATEST point across all batches
+        # seen so far, not just this batch: an out-of-order micro-batch
+        # (older than the stored max) must not pull the timeout earlier
+        # and close the session before gap_minutes after the true latest.
+        if ts:
+            last_ms = max(last_ms, max(ts))
         state.setTimeoutTimestamp(last_ms + gap_ms)
         yield pd.DataFrame({"url": pd.Series([], dtype=str),
                             "n_points": pd.Series([], dtype="int32"),
