@@ -27,6 +27,15 @@ def get_spark(cores: int | str = "*", app: str = "st_mapmatching_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing floor is byte-based (default 1 MB), but this
+        # engine's hot stages are Python/Arrow kernels whose cost-per-byte
+        # is ~100x a JVM op: at bench scale (sf0.1, ~3 MB shuffles) the
+        # default floor collapses the candidate refine + top-k windows
+        # onto 2-3 of 32 cores (measured: geo_knn_edges 2.4 s -> 1.6 s
+        # with a 64 KB floor). parallelismFirst is already on, so this
+        # only lowers the coalescing floor; large shuffles still coalesce
+        # toward the advisory target exactly as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
