@@ -501,9 +501,12 @@ def q_dedup_minhash(spark, sf):
 
 
 def q_sim_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs (SURVEY-extension family)."""
+    """Embedding-cosine near-dup pairs (SURVEY-extension family), BLOCKED
+    by deterministic sign-LSH banding + exact sequential-fold cosine
+    verify — no all-pairs join in the plan; the oracle reproduces the
+    banded candidate set bitwise (Rademacher planes + list_reduce)."""
     from st_mapmatching_spark.operators.similarity import cosine_neardup_pairs
-    return (cosine_neardup_pairs(_emb(spark, sf), threshold=0.4)
+    return (cosine_neardup_pairs(_emb(spark, sf), threshold=0.4, dim=64)
             .select("a_id", "b_id", F.round("cosine", 6).alias("cos_r")))
 
 
@@ -513,17 +516,24 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_sim_lsh(spark, sf):
+    """Banded sign-LSH top-k in strict-parity mode: deterministic
+    Rademacher planes + sequential-fold projections, so the DuckDB oracle
+    reproduces every signature bit (and hence the candidate set) bitwise."""
     from st_mapmatching_spark.operators.similarity import lsh_topk
     emb = _emb(spark, sf)
-    return (lsh_topk(spark, emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5)
+    return (lsh_topk(spark, emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
+                     strict=True)
             .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cos_r")))
 
 
 def q_sim_ivf(spark, sf):
+    """IVF top-k in strict-parity mode: first-8-by-id coarse quantizer,
+    sequential-fold distances, stable tie-breaks — a full SQL closed form
+    (see ivf_topk docstring for the quantizer tradeoff)."""
     from st_mapmatching_spark.operators.similarity import ivf_topk
     emb = _emb(spark, sf)
     return (ivf_topk(spark, emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
-                     n_centroids=8, n_probe=4)
+                     n_centroids=8, n_probe=4, strict=True)
             .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cos_r")))
 
 
@@ -606,6 +616,49 @@ def _dedup_minhash_sql() -> str:
         JOIN nsz na ON na.doc_id = i.a
         JOIN nsz nb ON nb.doc_id = i.b
         WHERE i.ni / (na.n + nb.n - i.ni) >= 0.5"""
+
+
+def _fold_sql(terms_list_expr: str) -> str:
+    """Strict left fold (+) starting at 0.0 — the exact IEEE op order of
+    the engine's F.aggregate / np.add.accumulate kernels."""
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms_list_expr}), "
+            f"(a, x) -> a + x)")
+
+
+def _proj_sql(v: str, j_expr: str, dim: int = 64, n_planes: int = 16) -> str:
+    """Projection of DOUBLE[] ``v`` onto Rademacher plane ``j_expr``
+    (similarity.rademacher_planes closed form), sequential fold."""
+    sign = (f"CASE WHEN ((d * {n_planes} + ({j_expr})) * 2654435761) "
+            f"% 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END")
+    return _fold_sql(f"list_transform(range({dim}), d -> {v}[d+1] * ({sign}))")
+
+
+def _bandv_sql(v: str, band: str, bits_per: int = 4) -> str:
+    """Band value = bits_per sign bits of consecutive plane projections,
+    packed little-endian — twin of the engine's (sig >> band*bits) & mask."""
+    parts = [f"(CASE WHEN ({_proj_sql(v, f'({band}) * {bits_per} + {r}')}) >= 0 "
+             f"THEN {1 << r} ELSE 0 END)" for r in range(bits_per)]
+    return " + ".join(parts)
+
+
+def _dot_sql(va: str, vb: str, dim: int = 64) -> str:
+    return _fold_sql(f"list_transform(range({dim}), d -> {va}[d+1] * {vb}[d+1])")
+
+
+def _norm_sql(v: str, dim: int = 64) -> str:
+    return f"sqrt({_fold_sql(f'list_transform(range({dim}), d -> {v}[d+1] * {v}[d+1])')})"
+
+
+def _cos_sql(va: str, vb: str, dim: int = 64) -> str:
+    """cosine with the engine's exact op order: dot / (norm(a) * norm(b)),
+    every sum a strict left fold."""
+    return f"(({_dot_sql(va, vb, dim)}) / (({_norm_sql(va, dim)}) * ({_norm_sql(vb, dim)})))"
+
+
+def _sqdist_sql(va: str, vb: str, dim: int = 64) -> str:
+    """Squared euclidean distance, sequential fold of (x-c)*(x-c)."""
+    return _fold_sql(f"list_transform(range({dim}), "
+                     f"d -> ({va}[d+1] - {vb}[d+1]) * ({va}[d+1] - {vb}[d+1]))")
 
 
 def _osm_fixture_xml() -> str:
@@ -983,13 +1036,98 @@ def oracle_sql() -> dict[str, str]:
                         + abs(o.nid // {D.G} - d.nid // {D.G}) AS INT) AS path_len
             FROM o CROSS JOIN d""",
 
-        "sim_neardup": """
+        # blocked near-dup twin: the banded candidate set is reproduced
+        # BITWISE (deterministic Rademacher planes, sequential-fold
+        # projections == np.add.accumulate), then the exact cosine verify
+        # uses the engine's own fold order — identical pair set by
+        # construction, no all-pairs scan semantics anywhere
+        "sim_neardup": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings)
-            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
+                       FROM embeddings),
+            bandv AS (
+              SELECT e.vec_id, b.b AS band, {_bandv_sql('e.v', 'b.b')} AS bv
+              FROM e, (SELECT unnest(range(4)) AS b) b),
+            capped AS (
+              SELECT * FROM (
+                SELECT vec_id, band, bv,
+                       COUNT(*) OVER (PARTITION BY band, bv) AS nb
+                FROM bandv) WHERE nb <= 200),
+            pairs AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM capped l JOIN capped r
+                ON l.band = r.band AND l.bv = r.bv AND l.vec_id < r.vec_id),
+            ver AS (
+              SELECT p.a, p.b, {_cos_sql('ea.v', 'eb.v')} AS cosine
+              FROM pairs p
+              JOIN e ea ON ea.vec_id = p.a
+              JOIN e eb ON eb.vec_id = p.b)
+            SELECT a AS a_id, b AS b_id, round(cosine, 6) AS cos_r
+            FROM ver WHERE cosine >= 0.4""",
+
+        # strict sign-LSH twin: signatures bitwise via the Rademacher
+        # closed form; re-rank cosine in the engine's fold order; ties
+        # (bitwise-equal cosines) broken by c_id in both engines
+        "sim_lsh": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cb AS (
+              SELECT e.vec_id, b.b AS band, {_bandv_sql('e.v', 'b.b')} AS bv
+              FROM e, (SELECT unnest(range(4)) AS b) b),
+            qb AS (SELECT * FROM cb WHERE vec_id < 5),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+              FROM qb q JOIN cb c
+                ON q.band = c.band AND q.bv = c.bv AND q.vec_id <> c.vec_id),
+            scored AS (
+              SELECT cand.q_id, cand.c_id, {_cos_sql('eq.v', 'ec.v')} AS cosine
+              FROM cand
+              JOIN e eq ON eq.vec_id = cand.q_id
+              JOIN e ec ON ec.vec_id = cand.c_id),
+            ranked AS (
+              SELECT q_id, c_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, c_id ASC) AS INT) AS rank
+              FROM scored)
+            SELECT q_id, c_id, rank, round(cosine, 6) AS cos_r
+            FROM ranked WHERE rank <= 5""",
+
+        # strict IVF twin: coarse quantizer = first 8 vectors by id,
+        # assignment = row_number over (sequential-fold sq-distance,
+        # centroid) — the engine's stable argsort tie rule; corpus probes
+        # 1 list, queries probe 4; exact cosine re-rank as in sim_lsh
+        "sim_ivf": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cent AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            cd AS (
+              SELECT e.vec_id, c.cid, {_sqdist_sql('e.v', 'c.v')} AS dist
+              FROM e CROSS JOIN cent c),
+            ranked_assign AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist ASC, cid ASC) AS rn
+              FROM cd),
+            cassign AS (SELECT vec_id, cid FROM ranked_assign WHERE rn = 1),
+            qassign AS (SELECT vec_id, cid FROM ranked_assign
+                        WHERE rn <= 4 AND vec_id < 5),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+              FROM qassign q JOIN cassign c
+                ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+            scored AS (
+              SELECT cand.q_id, cand.c_id, {_cos_sql('eq.v', 'ec.v')} AS cosine
+              FROM cand
+              JOIN e eq ON eq.vec_id = cand.q_id
+              JOIN e ec ON ec.vec_id = cand.c_id),
+            ranked AS (
+              SELECT q_id, c_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, c_id ASC) AS INT) AS rank
+              FROM scored)
+            SELECT q_id, c_id, rank, round(cosine, 6) AS cos_r
+            FROM ranked WHERE rank <= 5""",
 
         "sim_dot_pairs": """
             SELECT a.vec_id AS a_id,

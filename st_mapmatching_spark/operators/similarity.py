@@ -45,18 +45,106 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .select("q_id", "c_id", "cosine", "rank"))
 
 
-def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold)
-    — the exactness baseline of the near-dup family (quadratic; use after
-    LSH/IVF blocking at scale, exactly like ngram_jaccard_pairs vs the
-    MinHash path)."""
+def cosine_allpairs(embeddings: DataFrame, threshold: float = 0.95,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """All-pairs embedding-cosine (a < b, cosine >= threshold) — the
+    QUADRATIC exactness baseline, kept only as the recall yardstick for
+    the blocked path in tests. Never the production entry point."""
     a = embeddings.select(F.col(id_col).alias("a_id"),
                           F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("b_id"),
                           F.col(vec_col).alias("vb"))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))
+
+
+# -- strict-parity sign-LSH family ------------------------------------------
+#
+# Deterministic Rademacher (+-1) hyperplanes with SEQUENTIAL per-plane
+# accumulation: the plane entries come from an integer closed form and the
+# projection is a strict left fold over vector elements, so a SQL engine
+# (the DuckDB gate oracle) reproduces every sign bit BITWISE — no seeded
+# Gaussian matrix, no BLAS-order nondeterminism. Sign random projections
+# with Rademacher entries are a standard LSH family (collision prob
+# 1 - angle/pi, as for Gaussian planes).
+
+_RADEMACHER_MIX = 2654435761  # Knuth multiplicative constant
+
+
+def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
+    """(dim, n_planes) matrix of +-1.0 from an integer closed form the SQL
+    oracle evaluates identically: entry (d, j) is +1 iff
+    ((d * n_planes + j) * 2654435761) mod 2^32 < 2^31."""
+    idx = np.arange(dim * n_planes, dtype=np.int64).reshape(dim, n_planes)
+    bits = (idx * _RADEMACHER_MIX) % (1 << 32) < (1 << 31)
+    return np.where(bits, 1.0, -1.0)
+
+
+def strict_sign_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Sign-LSH signature (bits packed into one long) with bitwise SQL
+    parity: projection onto plane j = strict left fold of
+    v[d] * rademacher(d, j) over d (np.add.accumulate == list_reduce)."""
+    signs = rademacher_planes(dim, n_planes)
+
+    def op(batches):
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # (n, dim, planes) terms folded SEQUENTIALLY along dim — the
+            # exact IEEE op order of the oracle's list_reduce
+            terms = m[:, :, None] * signs[None, :, :]
+            proj = np.add.accumulate(terms, axis=1)[:, -1, :]
+            bits = proj >= 0.0
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, sig long")
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         dim: int = 64, n_planes: int = 16, n_bands: int = 4,
+                         max_bucket: int = 200) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
+    BLOCKED by sign-LSH banding — the scale path: map-side signatures,
+    slim (band, bits) keys in the only shuffle, mega-buckets capped, exact
+    sequential-fold cosine verify on surviving candidates only. No
+    all-pairs join anywhere in the plan (cosine_allpairs is the quadratic
+    baseline for recall tests). Band-collision recall at the default
+    threshold 0.95 (angle 18deg, bit-match prob 0.9) is
+    1-(1-0.9^4)^4 ~ 0.986; callers gate on the blocked semantics."""
+    bits_per = n_planes // n_bands
+    mask = (1 << bits_per) - 1
+    sig = strict_sign_signatures(embeddings, dim, n_planes, id_col, vec_col)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("sig", b * bits_per).bitwiseAND(F.lit(mask)).alias("bv"))
+            for b in range(n_bands)])).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+
+    wb = Window.partitionBy("band", "bv")
+    banded = (banded.withColumn("_n", F.count("*").over(wb))
+              .filter(F.col("_n") <= max_bucket).drop("_n"))
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bv") == F.col("r.bv"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"]))
+
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (cand
+            .join(vecs.select(F.col("_vid").alias("a_id"), F.col("_v").alias("va")), "a_id")
+            .join(vecs.select(F.col("_vid").alias("b_id"), F.col("_v").alias("vb")), "b_id")
             .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("a_id", "b_id", "cosine"))
@@ -78,9 +166,14 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarra
 
 def ivf_assign(spark: SparkSession, embeddings: DataFrame, centroids: np.ndarray,
                n_probe: int = 1, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", strict: bool = False) -> DataFrame:
     """(id, centroid) rows; n_probe>1 emits that many nearest lists
-    (query-side multi-probe)."""
+    (query-side multi-probe).
+
+    strict=True computes squared distances as a SEQUENTIAL fold over
+    dimensions (np.add.accumulate) and breaks distance ties by centroid
+    index (stable argsort) — the exact IEEE op order and tie rule of the
+    SQL oracle's list_reduce + row_number-over-(dist, centroid)."""
     import pandas as pd
     bc = spark.sparkContext.broadcast(centroids)
 
@@ -88,8 +181,13 @@ def ivf_assign(spark: SparkSession, embeddings: DataFrame, centroids: np.ndarray
         cent = bc.value
         for pdf in batches:
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            near = np.argsort(d, axis=1)[:, :n_probe]
+            if strict:
+                diff2 = (m[:, None, :] - cent[None, :, :]) ** 2
+                d = np.add.accumulate(diff2, axis=2)[:, :, -1]
+                near = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            else:
+                d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+                near = np.argsort(d, axis=1)[:, :n_probe]
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame({id_col: ids, "centroid": near.ravel()})
 
@@ -100,21 +198,34 @@ def ivf_assign(spark: SparkSession, embeddings: DataFrame, centroids: np.ndarray
 def ivf_topk(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
              dim: int, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
              iters: int = 5, seed: int = 42, sample_n: int = 2000,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             strict: bool = False) -> DataFrame:
     """IVF approximate top-k: kmeans-lite centroids on a driver sample,
     corpus partitioned by nearest centroid (one list each), queries probe
     their n_probe nearest lists, exact cosine re-rank inside. The standard
     scale path next to LSH; coarse quantizer quality is bounded by the
-    sample, which is the usual IVF tradeoff."""
-    # deterministic sample: bare limit() is partition-order-dependent on a
-    # real cluster, so centroids (and recall) would vary run to run
-    sample = np.vstack(embeddings.select(id_col, vec_col)
-                       .orderBy(id_col).limit(sample_n)
-                       .toPandas()[vec_col].to_numpy()).astype(np.float64)
-    cent = _kmeans_lite(sample, n_centroids, iters, seed)
+    sample, which is the usual IVF tradeoff.
 
-    c_assign = ivf_assign(spark, embeddings, cent, 1, id_col, vec_col)
-    q_assign = ivf_assign(spark, queries, cent, n_probe, id_col, vec_col)
+    strict=True makes the whole decomposition a SQL-expressible closed
+    form for the gate oracle: the coarse quantizer is the first
+    n_centroids vectors by id (no Lloyd iterations — float means have no
+    IEEE-order-stable SQL twin) and assignments/re-rank use sequential
+    folds + stable tie-breaks (see ivf_assign). Quantizer quality is the
+    tradeoff; the default kmeans path is unchanged."""
+    if strict:
+        cent = np.vstack(embeddings.select(id_col, vec_col)
+                         .orderBy(id_col).limit(n_centroids)
+                         .toPandas()[vec_col].to_numpy()).astype(np.float64)
+    else:
+        # deterministic sample: bare limit() is partition-order-dependent
+        # on a real cluster, so centroids (and recall) would vary run to run
+        sample = np.vstack(embeddings.select(id_col, vec_col)
+                           .orderBy(id_col).limit(sample_n)
+                           .toPandas()[vec_col].to_numpy()).astype(np.float64)
+        cent = _kmeans_lite(sample, n_centroids, iters, seed)
+
+    c_assign = ivf_assign(spark, embeddings, cent, 1, id_col, vec_col, strict)
+    q_assign = ivf_assign(spark, queries, cent, n_probe, id_col, vec_col, strict)
 
     c = embeddings.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")) \
         .join(c_assign.withColumnRenamed(id_col, "c_id"), "c_id")
@@ -156,13 +267,22 @@ def lsh_signatures(spark: SparkSession, embeddings: DataFrame, dim: int,
 
 def lsh_topk(spark: SparkSession, embeddings: DataFrame, queries: DataFrame, dim: int,
              k: int = 10, n_planes: int = 16, n_bands: int = 4, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             strict: bool = False) -> DataFrame:
     """Approximate top-k: multi-band signature match -> exact cosine
-    re-rank inside candidate buckets. Bands of n_planes/n_bands bits."""
+    re-rank inside candidate buckets. Bands of n_planes/n_bands bits.
+
+    strict=True swaps the seeded Gaussian planes for the deterministic
+    Rademacher family with sequential-fold projections
+    (strict_sign_signatures) so a SQL oracle reproduces the candidate set
+    bitwise; recall properties are equivalent (both are sign random
+    projections)."""
     bits_per = n_planes // n_bands
 
     def banded(df, prefix):
-        sig = lsh_signatures(spark, df, dim, n_planes, seed, id_col, vec_col)
+        sig = (strict_sign_signatures(df, dim, n_planes, id_col, vec_col)
+               if strict else
+               lsh_signatures(spark, df, dim, n_planes, seed, id_col, vec_col))
         out = df.select(F.col(id_col).alias(f"{prefix}_id"),
                         F.col(vec_col).alias(f"{prefix}_vec")) \
                 .join(sig.withColumnRenamed(id_col, f"{prefix}_id"), f"{prefix}_id")

@@ -171,3 +171,52 @@ def test_frame_sample_plan(spark, pages):
     plan = multimodal.frame_sample_plan(media, every_n=1).toPandas()
     assert (plan.frame_idx >= 0).all()
     assert plan.groupby("url").size().min() >= 1
+
+
+def test_blocked_neardup_subset_of_allpairs(spark, emb):
+    """The LSH-blocked near-dup pair set is a subset of the quadratic
+    baseline (same threshold), with high recall at a tight threshold."""
+    blocked = similarity.cosine_neardup_pairs(emb, threshold=0.4, dim=64).toPandas()
+    allp = similarity.cosine_allpairs(emb, threshold=0.4).toPandas()
+    bset = set(zip(blocked.a_id, blocked.b_id))
+    aset = set(zip(allp.a_id, allp.b_id))
+    assert bset <= aset
+    # cosines agree on the shared pairs (same fold on both paths)
+    m = blocked.merge(allp, on=["a_id", "b_id"], suffixes=("_b", "_a"))
+    assert np.allclose(m.cosine_b, m.cosine_a, rtol=0, atol=1e-12)
+    # tight-threshold recall: planted-style near-identical vectors all survive
+    tight_all = similarity.cosine_allpairs(emb, threshold=0.95).toPandas()
+    tight_blk = similarity.cosine_neardup_pairs(emb, threshold=0.95, dim=64).toPandas()
+    if len(tight_all):
+        recall = len(set(zip(tight_blk.a_id, tight_blk.b_id))
+                     & set(zip(tight_all.a_id, tight_all.b_id))) / len(tight_all)
+        assert recall >= 0.8
+
+
+def test_strict_lsh_topk_recall(spark, emb):
+    """strict (Rademacher, sequential-fold) sign-LSH keeps recall parity
+    with the Gaussian family."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = similarity.lsh_topk(spark, emb, queries, dim=64, k=5,
+                                 n_planes=16, n_bands=8, strict=True).toPandas()
+    hit = tot = 0
+    for q in range(10):
+        e = set(exact[exact.q_id == q].c_id)
+        a = set(approx[approx.q_id == q].c_id)
+        hit += len(e & a)
+        tot += len(e)
+    assert hit / tot >= 0.5, f"strict LSH recall {hit/tot}"
+
+
+def test_strict_ivf_topk_runs_and_ranks(spark, emb):
+    """strict IVF (first-k quantizer, stable ties) returns well-formed
+    ranked results whose cosines match the exact values."""
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(spark, emb, q, dim=64, k=5, n_centroids=8,
+                              n_probe=4, strict=True).toPandas()
+    assert set(out.q_id) == set(range(5))
+    for qid, g in out.groupby("q_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+        c = g.sort_values("rank").cosine.to_numpy()
+        assert (np.diff(c) <= 1e-15).all()
