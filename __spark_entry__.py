@@ -373,6 +373,12 @@ def q_sim_dot_pairs(spark, sf):
 # ---------------------------------------------------------------------------
 
 def q_match_grid(spark, sf):
+    """THE flagship gate (reference matching.py:75-153 end-to-end): page
+    render -> extract -> DP simplify -> candidate kNN -> HMM scoring
+    (dist + dir) -> beam Viterbi -> stitch. Full DuckDB oracle
+    (oracle/match_sql.py) re-derives every stage independently of the
+    engine kernels — including the %.7f text quantization, the beam
+    prune/walk and the closed-form grid shortest paths."""
     from st_mapmatching_spark.operators.matching import match_pages
     pages = _render_pages(_pts(spark, sf))
     m = match_pages(spark, pages, _net(), CFG)
@@ -386,11 +392,16 @@ def q_match_grid(spark, sf):
 
 def q_match_grid_classic(spark, sf):
     """beam_search=False: classic full-lattice Viterbi decode
-    (reference matching.py:187-188 -> viterbi.py:200-268)."""
+    (reference matching.py:187-188 -> viterbi.py:200-268). dir_trans is
+    off as well — the reference's classic branch never uses the direction
+    term in the decode, and distance-only transitions make the gate a
+    clean isolation of the decode semantics (the dir term is gated by
+    match_grid). Full DuckDB oracle: oracle/match_sql.py."""
     from dataclasses import replace
     from st_mapmatching_spark.operators.matching import match_pages
     pages = _render_pages(_pts(spark, sf))
-    m = match_pages(spark, pages, _net(), replace(CFG, beam_search=False))
+    m = match_pages(spark, pages, _net(),
+                    replace(CFG, beam_search=False, dir_trans=False))
     return m.select("url", "status",
                     F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"),
                     F.round("norm_prob", 6).alias("norm_prob_r"))
@@ -659,6 +670,11 @@ def _sqdist_sql(va: str, vb: str, dim: int = 64) -> str:
     """Squared euclidean distance, sequential fold of (x-c)*(x-c)."""
     return _fold_sql(f"list_transform(range({dim}), "
                      f"d -> ({va}[d+1] - {vb}[d+1]) * ({va}[d+1] - {vb}[d+1]))")
+
+
+def _match_sql():
+    from st_mapmatching_spark.oracle import match_sql
+    return match_sql
 
 
 def _osm_fixture_xml() -> str:
@@ -1369,6 +1385,13 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS pid,
                    round(b.x, 6) AS x_r, round(b.y, 6) AS y_r
             FROM keep k JOIN base b ON b.url = k.url AND b.pid = k.pid""",
+
+        # FLAGSHIP twins: full render->extract->simplify->candidates->HMM->
+        # Viterbi->stitch pipelines re-derived in DuckDB (beam + classic) —
+        # see st_mapmatching_spark/oracle/match_sql.py for the float-parity
+        # and tie-rule design notes
+        "match_grid": _match_sql().match_grid_oracle_sql(),
+        "match_grid_classic": _match_sql().match_grid_classic_oracle_sql(),
 
         # full MinHash-LSH twin in SQL: the engine's whole construction is
         # exact integer arithmetic by design (FNV-1a base hash, affine
