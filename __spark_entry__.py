@@ -549,14 +549,23 @@ def q_sim_ivf(spark, sf):
 
 
 def q_eval_lcss(spark, sf):
-    """Post-match trajectory-similarity eval (SURVEY.md §2.11)."""
-    from st_mapmatching_spark.operators.candidates import extract_trajs, simplify_trajs
+    """Post-match trajectory-similarity eval (SURVEY.md §2.11): LCSS
+    between the matched path geometry (fraction-cut + 25 m resample) and
+    the simplified trajectory. Runs on the classic-decode match output
+    (beam is gated by match_grid) so the full DuckDB twin — classic
+    decode chain + path cut + resample + anti-diagonal LCSS DP in a
+    recursive CTE — stays tractable; resample=25 m bounds the DP at
+    ~100x100 per trajectory."""
+    from dataclasses import replace
+    from st_mapmatching_spark.operators.candidates import extract_simplify
     from st_mapmatching_spark.operators.matching import match_pages
     from st_mapmatching_spark.operators.metrics import eval_similarity
+    cfgc = replace(CFG, beam_search=False, dir_trans=False)
     pages = _render_pages(_pts(spark, sf))
-    matched = match_pages(spark, pages, _net(), CFG)
-    points = simplify_trajs(extract_trajs(pages), CFG)
-    return (eval_similarity(spark, matched, points, _net(), CFG, metric="lcss")
+    matched = match_pages(spark, pages, _net(), cfgc)
+    points = extract_simplify(pages, cfgc)
+    return (eval_similarity(spark, matched, points, _net(), cfgc,
+                            metric="lcss", resample=25.0)
             .select("url", F.round("metric_value", 6).alias("lcss_r")))
 
 
@@ -1392,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         # and tie-rule design notes
         "match_grid": _match_sql().match_grid_oracle_sql(),
         "match_grid_classic": _match_sql().match_grid_classic_oracle_sql(),
+        "eval_lcss": _match_sql().eval_lcss_oracle_sql(),
 
         # full MinHash-LSH twin in SQL: the engine's whole construction is
         # exact integer arithmetic by design (FNV-1a base hash, affine

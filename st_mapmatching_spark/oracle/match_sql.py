@@ -738,3 +738,201 @@ def match_grid_classic_oracle_sql() -> str:
     beam_search=False + dir_trans=False)."""
     return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
             f"{PAIRS},\n{CLASSIC}\n{CLASSIC_FINAL}")
+
+
+# ---------------------------------------------------------------------------
+# eval_lcss twin: classic-decode match output -> fraction-cut path geometry
+# -> 25 m resample (resample_polyline twin) -> LCSS DP as an anti-diagonal
+# recursive CTE (no intra-step dependence: diagonal d is an elementwise
+# list op over diagonals d-1 and d-2), normalized by min(len) — reference
+# trajDist.py:31-53 via operators/metrics.eval_similarity.
+# ---------------------------------------------------------------------------
+
+def EAX(e):
+    return (f"(CASE WHEN ({e}) < 72 THEN {fl(X0)} + (({e}) % 8) * {fl(S)} "
+            f"WHEN ({e}) < 144 THEN {fl(X0)} + ((({e}) - 72) // 8) * {fl(S)} "
+            f"WHEN ({e}) < 216 THEN ({fl(X0)} + ((({e}) - 144) % 8) * {fl(S)}) + {fl(S)} "
+            f"ELSE {fl(X0)} + ((({e}) - 216) // 8) * {fl(S)} END)")
+
+def EAY(e):
+    return (f"(CASE WHEN ({e}) < 72 THEN {fl(X0)} + (({e}) // 8) * {fl(S)} "
+            f"WHEN ({e}) < 144 THEN {fl(X0)} + ((({e}) - 72) % 8) * {fl(S)} "
+            f"WHEN ({e}) < 216 THEN {fl(X0)} + ((({e}) - 144) // 8) * {fl(S)} "
+            f"ELSE ({fl(X0)} + ((({e}) - 216) % 8) * {fl(S)}) + {fl(S)} END)")
+
+def EBX(e):
+    return (f"(CASE WHEN ({e}) < 72 THEN ({fl(X0)} + (({e}) % 8) * {fl(S)}) + {fl(S)} "
+            f"WHEN ({e}) < 144 THEN {fl(X0)} + ((({e}) - 72) // 8) * {fl(S)} "
+            f"WHEN ({e}) < 216 THEN {fl(X0)} + ((({e}) - 144) % 8) * {fl(S)} "
+            f"ELSE {fl(X0)} + ((({e}) - 216) // 8) * {fl(S)} END)")
+
+def EBY(e):
+    return (f"(CASE WHEN ({e}) < 72 THEN {fl(X0)} + (({e}) // 8) * {fl(S)} "
+            f"WHEN ({e}) < 144 THEN ({fl(X0)} + ((({e}) - 72) % 8) * {fl(S)}) + {fl(S)} "
+            f"WHEN ({e}) < 216 THEN {fl(X0)} + ((({e}) - 144) // 8) * {fl(S)} "
+            f"ELSE {fl(X0)} + ((({e}) - 216) % 8) * {fl(S)} END)")
+
+LCSS_RS = 25.0
+
+LCSS_EPS = 10.0
+
+LCSS = f"""
+ded AS MATERIALIZED (
+  SELECT url, end_prob, n_steps, transps,
+         list_filter(eids_full, (x, i) -> i = 1 OR eids_full[i-1] <> x) AS epath
+  FROM withlast
+),
+cstat AS MATERIALIZED (
+  SELECT url, epath, n_steps,
+         CASE WHEN len(epath) = 1
+              THEN CASE WHEN end_prob < {fl(CFG.prob_thres)} THEN 4 ELSE 1 END
+              WHEN pow(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), transps),
+                                   (a, x) -> a * x), 1.0 / n_steps) < {fl(CFG.prob_thres)} THEN 4
+              ELSE 0 END AS status
+  FROM ded
+),
+cstep AS MATERIALIZED (
+  SELECT d.url, d.epath, d.n_steps,
+         c0.len0 / (c0.len0 + c0.len1) AS step_0,
+         cn.len0 / (cn.len0 + cn.len1) AS step_n,
+         f.rpath, lp.pids
+  FROM cstat d
+  JOIN fin f USING (url)
+  JOIN lpids lp USING (url)
+  JOIN cand c0 ON c0.url = d.url AND c0.pid = lp.pids[1] AND c0.eid = f.rpath[1]
+  JOIN cand cn ON cn.url = d.url AND cn.pid = lp.pids[len(lp.pids)]
+              AND cn.eid = f.rpath[len(f.rpath)]
+  WHERE d.status IN (0, 1)
+),
+-- matched-path polyline: cut first/last edge by fractions, inner joints
+-- dropped (epath is connected by construction: classic decode + sp
+-- expansion; cut_path_by_fractions' allclose dedup reduces to this)
+pverts AS MATERIALIZED (
+  SELECT url,
+         CASE WHEN len(epath) = 1 THEN
+           [struct_pack(x := (({EBX('epath[1]')} - {EAX('epath[1]')}) / {fl(S)}) * (step_0 * {fl(S)}) + {EAX('epath[1]')},
+                        y := (({EBY('epath[1]')} - {EAY('epath[1]')}) / {fl(S)}) * (step_0 * {fl(S)}) + {EAY('epath[1]')}),
+            struct_pack(x := CASE WHEN step_n * {fl(S)} >= {fl(S)} THEN {EBX('epath[1]')}
+                             ELSE (({EBX('epath[1]')} - {EAX('epath[1]')}) / {fl(S)}) * (step_n * {fl(S)}) + {EAX('epath[1]')} END,
+                        y := CASE WHEN step_n * {fl(S)} >= {fl(S)} THEN {EBY('epath[1]')}
+                             ELSE (({EBY('epath[1]')} - {EAY('epath[1]')}) / {fl(S)}) * (step_n * {fl(S)}) + {EAY('epath[1]')} END)]
+         ELSE
+           list_concat(list_concat(
+             [struct_pack(x := CASE WHEN step_0 * {fl(S)} >= {fl(S)} THEN {EBX('epath[1]')}
+                               ELSE (({EBX('epath[1]')} - {EAX('epath[1]')}) / {fl(S)}) * (step_0 * {fl(S)}) + {EAX('epath[1]')} END,
+                          y := CASE WHEN step_0 * {fl(S)} >= {fl(S)} THEN {EBY('epath[1]')}
+                               ELSE (({EBY('epath[1]')} - {EAY('epath[1]')}) / {fl(S)}) * (step_0 * {fl(S)}) + {EAY('epath[1]')} END)],
+             list_transform(list_slice(epath, 1, len(epath) - 1),
+               e -> struct_pack(x := {EBX('e')}, y := {EBY('e')}))),
+             [struct_pack(x := (({EBX('epath[len(epath)]')} - {EAX('epath[len(epath)]')}) / {fl(S)}) * (step_n * {fl(S)}) + {EAX('epath[len(epath)]')},
+                          y := (({EBY('epath[len(epath)]')} - {EAY('epath[len(epath)]')}) / {fl(S)}) * (step_n * {fl(S)}) + {EAY('epath[len(epath)]')})])
+         END AS verts,
+         n_steps
+  FROM cstep
+),
+tverts AS MATERIALIZED (
+  SELECT url, list(struct_pack(x := x, y := y) ORDER BY pid) AS verts
+  FROM spts GROUP BY url
+),
+-- both polylines through the resample twin (resample_polyline, step 25,
+-- keep_last): consecutive-dup drop, cumulative arc length, samples at
+-- k*step for k < ceil(total/step), np.interp's slope-first op order,
+-- plus the kept last vertex
+allv AS MATERIALIZED (
+  SELECT url, 'p' AS side, verts FROM pverts
+  UNION ALL SELECT url, 't', verts FROM tverts
+),
+dedv AS MATERIALIZED (
+  SELECT url, side,
+         list_filter(verts, (v, i) -> i = 1 OR v.x <> verts[i-1].x OR v.y <> verts[i-1].y) AS verts
+  FROM allv
+),
+cumv AS MATERIALIZED (
+  SELECT url, side, verts,
+         list_reduce(list_prepend(CAST([0.0] AS DOUBLE[]),
+           list_transform(range(1, len(verts)), i ->
+             [sqrt((verts[i+1].x - verts[i].x) * (verts[i+1].x - verts[i].x)
+                   + (verts[i+1].y - verts[i].y) * (verts[i+1].y - verts[i].y))])),
+           (a, x) -> list_append(a, a[len(a)] + x[1])) AS cum
+  FROM dedv
+),
+segr AS MATERIALIZED (
+  SELECT url, side, t.m AS m,
+         verts[t.m].x AS x0, verts[t.m].y AS y0,
+         verts[t.m + 1].x AS x1, verts[t.m + 1].y AS y1,
+         cum[t.m] AS c0, cum[t.m + 1] AS c1
+  FROM cumv, unnest(range(1, len(verts))) AS t(m)
+),
+sampk AS MATERIALIZED (
+  SELECT url, side, t.k AS k
+  FROM cumv, unnest(range(CAST(ceil(cum[len(cum)] / {fl(LCSS_RS)}) AS BIGINT))) AS t(k)
+  WHERE len(verts) > 1
+),
+sinterp AS MATERIALIZED (
+  SELECT s.url, s.side, s.k,
+         ((g.x1 - g.x0) / (g.c1 - g.c0)) * (CAST(s.k AS DOUBLE) * {fl(LCSS_RS)} - g.c0) + g.x0 AS x,
+         ((g.y1 - g.y0) / (g.c1 - g.c0)) * (CAST(s.k AS DOUBLE) * {fl(LCSS_RS)} - g.c0) + g.y0 AS y
+  FROM sampk s JOIN segr g
+    ON g.url = s.url AND g.side = s.side
+   AND CAST(s.k AS DOUBLE) * {fl(LCSS_RS)} >= g.c0
+   AND CAST(s.k AS DOUBLE) * {fl(LCSS_RS)} < g.c1
+),
+-- keep_last vertex (seq = count) + single-vertex passthrough
+sall AS MATERIALIZED (
+  SELECT url, side, k, x, y FROM sinterp
+  UNION ALL
+  SELECT url, side,
+         CAST(ceil(cum[len(cum)] / {fl(LCSS_RS)}) AS BIGINT) AS k,
+         verts[len(verts)].x, verts[len(verts)].y
+  FROM cumv WHERE len(verts) > 1
+  UNION ALL
+  SELECT url, side, CAST(0 AS BIGINT), verts[1].x, verts[1].y
+  FROM cumv WHERE len(verts) = 1
+),
+samp AS MATERIALIZED (
+  SELECT url, side, list(struct_pack(x := x, y := y) ORDER BY k) AS samples
+  FROM sall GROUP BY url, side
+),
+ab AS MATERIALIZED (
+  SELECT t.url,
+         t.samples AS av, p.samples AS bv,
+         len(t.samples) AS n0, len(p.samples) AS n1
+  FROM (SELECT * FROM samp WHERE side = 't') t
+  JOIN (SELECT * FROM samp WHERE side = 'p') p USING (url)
+),
+-- LCSS DP by anti-diagonals: D_d[i+1] = c[i][d-i] (full-length lists,
+-- out-of-diagonal cells 0); no intra-step dependence, so each diagonal is
+-- a pure elementwise list op over the two previous diagonals
+ldp(url, d, d1, d2) AS (
+  SELECT url, CAST(1 AS BIGINT),
+         list_transform(range(n0 + 1), i -> CAST(0 AS BIGINT)),
+         list_transform(range(n0 + 1), i -> CAST(0 AS BIGINT))
+  FROM ab
+  UNION ALL
+  SELECT l.url, l.d + 1,
+         list_transform(range(a.n0 + 1), i ->
+           CASE WHEN i >= 1 AND (l.d + 1 - i) BETWEEN 1 AND a.n1 THEN
+             CASE WHEN sqrt((a.av[i].x - a.bv[l.d + 1 - i].x) * (a.av[i].x - a.bv[l.d + 1 - i].x)
+                            + (a.av[i].y - a.bv[l.d + 1 - i].y) * (a.av[i].y - a.bv[l.d + 1 - i].y))
+                       < {fl(LCSS_EPS)}
+                  THEN l.d2[i] + 1
+                  ELSE greatest(l.d1[i], l.d1[i + 1]) END
+           ELSE 0 END),
+         l.d1
+  FROM ldp l JOIN ab a USING (url)
+  WHERE l.d < a.n0 + a.n1
+),
+lcss AS (
+  SELECT l.url, CAST(l.d1[a.n0 + 1] AS DOUBLE) / least(a.n0, a.n1) AS v
+  FROM ldp l JOIN ab a USING (url)
+  WHERE l.d = a.n0 + a.n1
+)
+"""
+
+LCSS_FINAL = "SELECT url, round(v, 6) AS lcss_r FROM lcss"
+
+
+def eval_lcss_oracle_sql() -> str:
+    """Full eval_lcss twin (q_eval_lcss: classic cfg, resample=25 m)."""
+    return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
+            f"{PAIRS},\n{CLASSIC},\n{LCSS}\n{LCSS_FINAL}")
