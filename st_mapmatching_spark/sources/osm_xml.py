@@ -125,45 +125,64 @@ def parse_osm_xml(source, highway_filters=None):
 
     all_nodes: dict[int, tuple[float, float, str | None]] = {}
     ways = []
-    way_nodes: set[int] = set()
 
     for _, el in ET.iterparse(source, events=("end",)):
         if el.tag == "node":
-            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
-            hw = tags.get("highway")
-            ctrl = "signal" if hw is not None and "signal" in hw else None
-            all_nodes[int(el.get("id"))] = (float(el.get("lon")),
-                                            float(el.get("lat")), ctrl)
+            nid, rec = _handle_node(el)
+            all_nodes[nid] = rec
             el.clear()
         elif el.tag == "way":
-            tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
-            hw = tags.get("highway")
-            if hw is None or hw in skip:
-                el.clear()
-                continue
-            nds = [int(nd.get("ref")) for nd in el.findall("nd")]
-            if len(nds) < 2:
-                el.clear()
-                continue
-            oneway, reverse = _parse_oneway(tags.get("oneway"))
-            if reverse:
-                nds = nds[::-1]
-            base = hw.split("_")[0]
-            ways.append({
-                "way_id": int(el.get("id")),
-                "highway": base,
-                "link": "link" in hw,
-                "level": LINK_TYPE_LEVEL.get(base, 99),
-                "speed": DEFAULT_SPEED_KPH.get(base, 30) / 3.6,
-                "name": tags.get("name"),
-                "oneway": oneway,
-                "maxspeed": _parse_maxspeed(tags.get("maxspeed")),
-                "lanes": _parse_lanes(tags.get("lanes")),
-                "nodes": nds,
-            })
-            way_nodes.update(nds)
+            w = _handle_way(el, skip)
+            if w is not None:
+                ways.append(w)
             el.clear()
 
+    return _assemble_frames(ways, all_nodes)
+
+
+def _handle_node(el):
+    """<node> element -> (nid, (lon, lat, ctrl_type)). Single source of
+    truth for the driver AND block-split parsers."""
+    tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+    hw = tags.get("highway")
+    ctrl = "signal" if hw is not None and "signal" in hw else None
+    return int(el.get("id")), (float(el.get("lon")), float(el.get("lat")), ctrl)
+
+
+def _handle_way(el, skip):
+    """<way> element -> way dict (or None when filtered)."""
+    tags = {t.get("k"): t.get("v") for t in el.findall("tag")}
+    hw = tags.get("highway")
+    if hw is None or hw in skip:
+        return None
+    nds = [int(nd.get("ref")) for nd in el.findall("nd")]
+    if len(nds) < 2:
+        return None
+    oneway, reverse = _parse_oneway(tags.get("oneway"))
+    if reverse:
+        nds = nds[::-1]
+    base = hw.split("_")[0]
+    return {
+        "way_id": int(el.get("id")),
+        "highway": base,
+        "link": "link" in hw,
+        "level": LINK_TYPE_LEVEL.get(base, 99),
+        "speed": DEFAULT_SPEED_KPH.get(base, 30) / 3.6,
+        "name": tags.get("name"),
+        "oneway": oneway,
+        "maxspeed": _parse_maxspeed(tags.get("maxspeed")),
+        "lanes": _parse_lanes(tags.get("lanes")),
+        "nodes": nds,
+    }
+
+
+def _assemble_frames(ways: list[dict], all_nodes: dict):
+    """(way dicts, node dict) -> the (ways, nodes, edges) frames."""
+    # node universe from ALL surviving-filter ways (pre-drop), as in the
+    # original streaming parse
+    way_nodes: set[int] = set()
+    for w in ways:
+        way_nodes.update(w["nodes"])
     # ways referencing absent nodes are dropped (divergence, documented)
     ways = [w for w in ways if all(n in all_nodes for n in w["nodes"])]
     for w in ways:
@@ -172,15 +191,94 @@ def parse_osm_xml(source, highway_filters=None):
     nodes = pd.DataFrame(
         [(nid, *all_nodes[nid]) for nid in sorted(way_nodes & set(all_nodes))],
         columns=["nid", "x", "y", "ctrl_type"])
-    ways_pdf = pd.DataFrame(ways)
+    ways_pdf = pd.DataFrame(sorted(ways, key=lambda w: w["way_id"]))
 
     edge_rows = []
-    for w in ways:
+    for w in sorted(ways, key=lambda w: w["way_id"]):
         nds = w["nodes"]
         for i in range(len(nds) - 1):
             edge_rows.append((w["way_id"], i, nds[i], nds[i + 1]))
     edges = pd.DataFrame(edge_rows, columns=["way_id", "order", "src", "dst"])
     return ways_pdf, nodes, edges
+
+
+def parse_osm_xml_distributed(spark: SparkSession, path: str,
+                              n_blocks: int = 8,
+                              max_element_bytes: int = 1 << 20,
+                              highway_filters=None):
+    """Block-split distributed variant of parse_osm_xml: same element
+    handlers, same output frames, but the XML tag scan runs inside
+    mapInPandas over byte ranges instead of on the driver.
+
+    The split is the classic XmlInputFormat pattern: the file is divided
+    into ``n_blocks`` byte ranges; each task reads its range plus a
+    ``max_element_bytes`` lookahead, aligns to the first top-level
+    ``<node``/``<way`` start at-or-after its range begin, and parses
+    every element whose START offset lies inside the range (ownership by
+    global byte offset — partition-invariant, no duplicates, no element
+    lost at a boundary). Works regardless of line structure (OSM exports
+    are often single-line). Relations interleaved after the ways parse
+    harmlessly inside the synthetic wrapper root and are ignored.
+
+    The parsed node/way streams are then assembled into the exact frames
+    the driver parse produces (shared _assemble_frames), so the Spark
+    relational post-process (osm_network_tables) is byte-identical
+    downstream. Elements larger than ``max_element_bytes`` would be
+    truncated at a block boundary — raise the lookahead for pathological
+    inputs (the OSM wiki caps realistic way sizes far below 1 MB).
+    """
+    import json
+    import os
+
+    if highway_filters is None:
+        highway_filters = HIGHWAY_FILTERS
+    skip = set(highway_filters)
+    size = os.path.getsize(path)
+    bounds = sorted({i * size // n_blocks for i in range(n_blocks)} | {size})
+    ranges = pd.DataFrame({"start": bounds[:-1], "end": bounds[1:]})
+    start_re = re.compile(rb"<(node|way)[ \t\r\n>]")
+
+    def op(batches):
+        for pdf in batches:
+            out_rows = []
+            for start, end in zip(pdf.start, pdf.end):
+                with open(path, "rb") as f:
+                    f.seek(int(start))
+                    data = f.read(int(end - start) + max_element_bytes)
+                blk = int(end - start)
+                m0 = start_re.search(data)
+                if m0 is None or m0.start() >= blk:
+                    continue
+                # cut at the first element start at-or-after the range end
+                m_end = start_re.search(data, blk)
+                tail = m_end.start() if m_end else data.rfind(b"</osm>")
+                if tail < 0:
+                    tail = len(data)
+                frag = b"<r>" + data[m0.start():tail] + b"</r>"
+                for el in ET.fromstring(frag):
+                    if el.tag == "node":
+                        nid, (x, y, ctrl) = _handle_node(el)
+                        out_rows.append(("n", json.dumps(
+                            {"nid": nid, "x": x, "y": y, "ctrl": ctrl})))
+                    elif el.tag == "way":
+                        w = _handle_way(el, skip)
+                        if w is not None:
+                            out_rows.append(("w", json.dumps(w)))
+            yield pd.DataFrame(out_rows, columns=["kind", "payload"])
+
+    parsed = (spark.createDataFrame(ranges)
+              .repartition(len(ranges))
+              .mapInPandas(op, schema="kind string, payload string")
+              .toPandas())
+    all_nodes = {}
+    ways = []
+    for kind, payload in zip(parsed["kind"], parsed["payload"]):
+        rec = json.loads(payload)
+        if kind == "n":
+            all_nodes[rec["nid"]] = (rec["x"], rec["y"], rec["ctrl"])
+        else:
+            ways.append(rec)
+    return _assemble_frames(ways, all_nodes)
 
 
 # ---------------------------------------------------------------------------

@@ -188,3 +188,25 @@ def test_match_equals_direct_build(spark, built):
     assert a.status.iat[0] == 0
     assert a.epath.iat[0] == [0, 1]  # 1->2 then 2->3 along Main St
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_distributed_parse_equals_driver_parse(spark, tmp_path):
+    """Block-split mapInPandas tag scan == driver streaming parse, for
+    several block counts (boundary alignment exercises element ownership
+    by byte offset; the fixture is a single line, so alignment cannot
+    rely on newlines)."""
+    import io
+    import __spark_entry__ as E
+    from st_mapmatching_spark.sources.osm_xml import (parse_osm_xml,
+                                                      parse_osm_xml_distributed)
+    xml = E._osm_fixture_xml()
+    fn = tmp_path / "fixture.osm"
+    fn.write_text(xml)
+
+    ways_d, nodes_d, edges_d = parse_osm_xml(io.StringIO(xml))
+    for n_blocks in (1, 3, 8, 17):
+        ways_b, nodes_b, edges_b = parse_osm_xml_distributed(
+            spark, str(fn), n_blocks=n_blocks, max_element_bytes=4096)
+        pd.testing.assert_frame_equal(ways_b, ways_d)
+        pd.testing.assert_frame_equal(nodes_b, nodes_d)
+        pd.testing.assert_frame_equal(edges_b, edges_d)
