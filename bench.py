@@ -72,6 +72,12 @@ def run_once(sf_dir: str, cpus: str) -> dict:
         "tile_assignments_per_sec": round(counts["geo_pip_tiles"] / times["geo_pip_tiles"], 2),
     }
     spark.stop()
+    # host-state probe AFTER timing (no contention with the measured runs):
+    # headline numbers must be read against the host's achievable ceiling —
+    # a round-over-round regression with a degraded probe is a host phase,
+    # not an engine regression (round-3 lesson: a 17% paper regression was
+    # committed without this annotation)
+    out["probe"] = host_probe(8, 32)
     return out
 
 

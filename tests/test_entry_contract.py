@@ -44,14 +44,13 @@ def test_query_matches_duckdb(spark, duck, name):
                                   rtol=1e-6, atol=1e-6, obj=name)
 
 
-def test_rows_only_queries_run(spark):
+def test_every_query_has_an_oracle():
+    """As of round 4 every queries() entry carries a full SQL twin — the
+    five former rows-only gates (match_grid, match_grid_classic, sim_lsh,
+    sim_ivf, eval_lcss) were the last conversions. Keep it that way."""
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
-    rows_only = [k for k in qs if k not in sqls]
-    assert len(rows_only) >= 5
-    for name in rows_only:
-        n = qs[name](spark, SF).count()
-        assert n >= 0, name
+    assert set(qs) == set(sqls), set(qs) ^ set(sqls)
 
 
 def test_entry_smoke(spark):
