@@ -59,3 +59,40 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite",
         w.format("iceberg").saveAsTable(path)
     else:
         w.parquet(path)
+
+
+def network_to_csv(spark: SparkSession, net, folder: str) -> tuple[str, str]:
+    """CSV sink for a routable network — the reference's GeoGraph.to_csv
+    (/root/reference/mapmatching/graph/geograph.py:165-184): one edge CSV
+    (attributes + WKT LINESTRING geometry) and one node CSV (nid/x/y +
+    WKT POINT), written with Spark's distributed CSV writer. Returns the
+    two output directories."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    e = net.edges
+    epdf = pd.DataFrame({
+        "eid": e["eid"].astype(int),
+        "way_id": e["way_id"].astype(int),
+        "src": e["src"].astype(int),
+        "dst": e["dst"].astype(int),
+        "dir": e["dir"].astype(int),
+        "dist": e["dist"].astype(float),
+        "speed": e["speed"].astype(float),
+        "geom": ["LINESTRING (" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in g) + ")"
+                 for g in e["geom_xy"]],
+    })
+    npdf = net.nodes.copy()
+    npdf["geom"] = ["POINT (" + f"{x:.10g} {y:.10g}" + ")"
+                    for x, y in zip(npdf["x"].astype(float), npdf["y"].astype(float))]
+
+    edge_dir = os.path.join(folder, "edges_csv")
+    node_dir = os.path.join(folder, "nodes_csv")
+    (spark.createDataFrame(epdf).write.mode("overwrite")
+     .option("header", True).csv(edge_dir))
+    cols = [c for c in ("nid", "x", "y", "geom") if c in npdf.columns]
+    (spark.createDataFrame(npdf[cols]).write.mode("overwrite")
+     .option("header", True).csv(node_dir))
+    return edge_dir, node_dir
