@@ -68,3 +68,26 @@ def test_salted_shuffle_join_same_results(spark, points, net, cfg):
               .sort_values(["url", "pid", "eid"]).reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(base, salted)
+
+
+def test_index_dilation_guard(spark):
+    """candidate_join must refuse an index dilated by less than the probe
+    radius (silently missing candidates otherwise); rebuilding the index
+    with the bigger cfg passes and finds the wider candidate set."""
+    from dataclasses import replace
+    import pytest as _pytest
+    import __spark_entry__ as E
+    from st_mapmatching_spark.operators.candidates import (candidate_join,
+                                                           network_frames)
+    net = E._net()
+    big = replace(E.CFG, radius=net.cfg.radius * 2)
+    p = E._pts(spark, "/root/testdata/sf0.001").select("url", "pid", "x", "y").limit(50)
+
+    idx_small, attrs = network_frames(spark, net)           # pad = net radius
+    with _pytest.raises(ValueError, match="dilated"):
+        candidate_join(p, idx_small, attrs, big, net=net)
+
+    idx_big, attrs = network_frames(spark, net, big)        # pad = cfg radius
+    n_big = candidate_join(p, idx_big, attrs, big, net=net).count()
+    n_base = candidate_join(p, idx_small, attrs, E.CFG, net=net).count()
+    assert n_big >= n_base
