@@ -91,3 +91,14 @@ def test_index_dilation_guard(spark):
     n_big = candidate_join(p, idx_big, attrs, big, net=net).count()
     n_base = candidate_join(p, idx_small, attrs, E.CFG, net=net).count()
     assert n_big >= n_base
+
+
+def test_blocked_neardup_plan_has_no_thetajoin(spark):
+    """The gated near-dup path must stay LSH-blocked: its physical plan
+    may contain only hash joins — a BroadcastNestedLoop/Cartesian node
+    means the O(n^2) all-pairs join crept back in."""
+    import __spark_entry__ as E
+    df = E.q_sim_neardup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
