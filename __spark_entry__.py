@@ -437,6 +437,28 @@ def q_geo_path_cut(spark, sf):
                     F.round("x1", 6).alias("x1_r"), F.round("y1", 6).alias("y1_r"))
 
 
+def q_match_single_point(spark, sf):
+    """STATUS_ONE_POINT branch through the real pipeline (reference
+    matching.py:128-135): one-point trajectories -> best candidate edge,
+    status 2 (or 3 when out of radius)."""
+    from st_mapmatching_spark.operators.matching import match_pages
+    pages = _render_pages(_pts(spark, sf).filter(F.col("pid") == 0))
+    m = match_pages(spark, pages, _net(), CFG)
+    return m.select("url", "status",
+                    F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"))
+
+
+def q_match_bbox_outside(spark, sf):
+    """STATUS_NO_CANDIDATES / bbox gate through the real pipeline
+    (reference matching.py:155-168; engine: left-anti reattach): all
+    points shifted 50 km east of the network."""
+    from st_mapmatching_spark.operators.matching import match_pages
+    pages = _render_pages(_pts(spark, sf).withColumn("x", F.col("x") + 50000.0))
+    m = match_pages(spark, pages, _net(), CFG)
+    return m.select("url", "status",
+                    F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"))
+
+
 PATH_MARGIN = 25  # endpoint-to-node margin (m) > the ±20 m lateral noise
 
 
@@ -782,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only
         "match_grid": q_match_grid,
         "match_grid_classic": q_match_grid_classic,
+        "match_single_point": q_match_single_point,
+        "match_bbox_outside": q_match_bbox_outside,
         "match_path_geom": q_match_path_geom,
         "geo_resample": q_geo_resample,
         "geo_simplify": q_geo_simplify,
@@ -1402,6 +1426,8 @@ def oracle_sql() -> dict[str, str]:
         "match_grid": _match_sql().match_grid_oracle_sql(),
         "match_grid_classic": _match_sql().match_grid_classic_oracle_sql(),
         "eval_lcss": _match_sql().eval_lcss_oracle_sql(),
+        "match_single_point": _match_sql().match_single_point_oracle_sql(),
+        "match_bbox_outside": _match_sql().match_bbox_outside_oracle_sql(),
 
         # full MinHash-LSH twin in SQL: the engine's whole construction is
         # exact integer arithmetic by design (FNV-1a base hash, affine

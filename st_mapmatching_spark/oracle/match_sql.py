@@ -936,3 +936,42 @@ def eval_lcss_oracle_sql() -> str:
     """Full eval_lcss twin (q_eval_lcss: classic cfg, resample=25 m)."""
     return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
             f"{PAIRS},\n{CLASSIC},\n{LCSS}\n{LCSS_FINAL}")
+
+
+def match_single_point_oracle_sql() -> str:
+    """Single-point degenerate twin (q_match_single_point): the pipeline's
+    STATUS_ONE_POINT branch — best candidate by (dist, eid) of the url's
+    only (quantized) point, status 2; status 3 when nothing is in radius
+    (reference matching.py:128-135)."""
+    return f"""WITH {PTS},\n{QUANT},\n{EDGES2},
+    p0 AS (SELECT url, x, y FROM qpts WHERE pid0 = 0),
+    c0 AS (
+      SELECT p.url, e.eid, p.x AS px, p.y AS py, e.ax, e.ay, e.bx, e.by,
+             least(greatest(((e.bx - e.ax) * (p.x - e.ax) + (e.by - e.ay) * (p.y - e.ay))
+                            / ((e.bx - e.ax) * (e.bx - e.ax) + (e.by - e.ay) * (e.by - e.ay)),
+                            0.0), 1.0) AS t
+      FROM p0 p CROSS JOIN edg e),
+    c1 AS (
+      SELECT url, eid,
+             sqrt((px - (ax + (bx - ax) * t)) * (px - (ax + (bx - ax) * t))
+                  + (py - (ay + (by - ay) * t)) * (py - (ay + (by - ay) * t))) AS dist
+      FROM c0),
+    best AS (
+      SELECT url, eid,
+             row_number() OVER (PARTITION BY url ORDER BY dist, eid) AS rn
+      FROM c1 WHERE dist <= {fl(CFG.radius)})
+    SELECT p.url,
+           CAST(CASE WHEN b.eid IS NULL THEN 3 ELSE 2 END AS INT) AS status,
+           coalesce(CAST(b.eid AS VARCHAR), '') AS epath_s
+    FROM (SELECT DISTINCT url FROM p0) p
+    LEFT JOIN (SELECT url, eid FROM best WHERE rn = 1) b USING (url)"""
+
+
+def match_bbox_outside_oracle_sql() -> str:
+    """Out-of-coverage twin (q_match_bbox_outside): every trajectory is
+    translated 50 km east of the network, so the bbox/no-candidate gate
+    (reference matching.py:155-168; the engine's left-anti reattach) must
+    return status 3 with no path for every url."""
+    return (f"WITH {PTS}\n"
+            "SELECT DISTINCT url, CAST(3 AS INT) AS status, '' AS epath_s "
+            "FROM points")
