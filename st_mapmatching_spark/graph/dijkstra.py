@@ -120,3 +120,88 @@ def shortest_paths_to_targets(adj: dict, origin: int, targets, max_dist: float,
             row.update(pcx=cx, pcy=cy, pw=w_, pn=n)
         rows.append(row)
     return rows
+
+
+def build_adjacency_reverse(edges) -> dict:
+    """Reverse adjacency: dst -> list[(src, cost, eid)] — the reference's
+    graph_r (/root/reference/mapmatching/graph/geograph.py builds both)."""
+    adj: dict = {}
+    for src, dst, dist, eid in zip(edges["src"].to_numpy(), edges["dst"].to_numpy(),
+                                   edges["dist"].to_numpy(), edges["eid"].to_numpy()):
+        adj.setdefault(int(dst), []).append((int(src), float(dist), int(eid)))
+    return adj
+
+
+def bidirectional_dijkstra(adj: dict, adj_r: dict, src: int, dst: int,
+                           max_dist: float) -> dict:
+    """Bi-directional shortest path (the reference's experimental
+    Bi_Astar, /root/reference/mapmatching/graph/bi_astar.py:8-219:
+    forward frontier over graph, backward over graph_r, smaller frontier
+    expanded first). Deliberate divergence, documented: the reference
+    stops at the FIRST meeting node, which for A* frontiers is not
+    guaranteed optimal; this implementation uses the standard optimal
+    termination (stop when top_f + top_b >= best known meeting cost), so
+    costs always equal the single-direction Dijkstra's — pinned in
+    tests/test_graph_build.py.
+
+    Returns {"status": 0|2, "cost": float, "epath": list[int] | None}.
+    """
+    import heapq
+    import math
+
+    if src == dst:
+        return {"status": 0, "cost": 0.0, "epath": None}
+
+    dist_f = {src: 0.0}
+    dist_b = {dst: 0.0}
+    prev_f: dict = {src: None}
+    prev_b: dict = {dst: None}
+    done_f: set = set()
+    done_b: set = set()
+    qf = [(0.0, src)]
+    qb = [(0.0, dst)]
+    best = math.inf
+    meet = None
+
+    def expand(q, dist_mine, dist_other, prev_mine, done_mine, graph):
+        nonlocal best, meet
+        c, u = heapq.heappop(q)
+        if u in done_mine:
+            return
+        done_mine.add(u)
+        for v, w, eid in graph.get(u, ()):
+            nc = c + w
+            if nc > max_dist:
+                continue
+            if v not in dist_mine or nc < dist_mine[v]:
+                dist_mine[v] = nc
+                prev_mine[v] = (u, eid)
+                heapq.heappush(q, (nc, v))
+            if v in dist_other and dist_mine[v] + dist_other[v] < best:
+                best = dist_mine[v] + dist_other[v]
+                meet = v
+
+    while qf and qb:
+        if qf[0][0] + qb[0][0] >= best:
+            break
+        if len(qf) < len(qb):
+            expand(qf, dist_f, dist_b, prev_f, done_f, adj)
+        else:
+            expand(qb, dist_b, dist_f, prev_b, done_b, adj_r)
+
+    if meet is None or best > max_dist:
+        return {"status": 2, "cost": math.inf, "epath": None}
+
+    fwd = []
+    node = meet
+    while prev_f.get(node) is not None:
+        u, eid = prev_f[node]
+        fwd.append(eid)
+        node = u
+    fwd.reverse()
+    node = meet
+    while prev_b.get(node) is not None:
+        u, eid = prev_b[node]
+        fwd.append(eid)
+        node = u
+    return {"status": 0, "cost": float(best), "epath": fwd or None}

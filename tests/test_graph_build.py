@@ -67,3 +67,69 @@ def test_combine_preserves_totals(spark, edges_df):
     tot = out.agg(F.sum("dist")).collect()[0][0]
     orig = edges_df.agg(F.sum("dist")).collect()[0][0]
     assert tot == orig
+
+
+def test_bidirectional_dijkstra_matches_single_direction():
+    """Bi-directional search (reference bi_astar.py twin, with the optimal
+    termination rule) returns the same costs as bounded Dijkstra on every
+    grid pair, and its epaths are connected with summed length == cost."""
+    import math
+    import numpy as np
+    from st_mapmatching_spark.graph.dijkstra import (
+        build_adjacency, build_adjacency_reverse, bidirectional_dijkstra,
+        shortest_paths_to_targets)
+    from st_mapmatching_spark.sources import derived as D
+
+    net = D.grid_network()
+    adj = build_adjacency(net.edges)
+    adj_r = build_adjacency_reverse(net.edges)
+    esrc = dict(zip(net.edges.eid.astype(int), net.edges.src.astype(int)))
+    edst = dict(zip(net.edges.eid.astype(int), net.edges.dst.astype(int)))
+    edist = dict(zip(net.edges.eid.astype(int), net.edges.dist.astype(float)))
+
+    rng = np.random.default_rng(7)
+    origins = rng.choice(81, size=12, replace=False)
+    for o in origins:
+        rows = shortest_paths_to_targets(adj, int(o), list(range(81)), 10000.0)
+        want = {int(r["d_node"]): r["cost"] for r in rows}
+        for d in range(81):
+            res = bidirectional_dijkstra(adj, adj_r, int(o), d, 10000.0)
+            assert res["cost"] == want[d], (o, d)
+            if res["epath"]:
+                ep = res["epath"]
+                assert esrc[ep[0]] == int(o) and edst[ep[-1]] == d
+                for a, b in zip(ep, ep[1:]):
+                    assert edst[a] == esrc[b]
+                assert math.isclose(sum(edist[e] for e in ep), res["cost"])
+
+
+def test_bidirectional_dijkstra_real_network():
+    """Cost parity on the reference's real LXD network (486 edges)."""
+    import os
+    import numpy as np
+    import pytest as _pytest
+    ckpt = "/root/reference/data/network/LXD_graph.ckpt"
+    if not os.path.exists(ckpt):
+        _pytest.skip("reference data not present")
+    from st_mapmatching_spark.graph.dijkstra import (
+        build_adjacency, build_adjacency_reverse, bidirectional_dijkstra,
+        shortest_paths_to_targets)
+    from st_mapmatching_spark.sources.ckpt import reference_network
+
+    net, _ = reference_network(ckpt)
+    adj = build_adjacency(net.edges)
+    adj_r = build_adjacency_reverse(net.edges)
+    nids = sorted({int(n) for n in net.edges.src} | {int(n) for n in net.edges.dst})
+    rng = np.random.default_rng(11)
+    for o in rng.choice(len(nids), size=6, replace=False):
+        o = nids[int(o)]
+        targets = [nids[int(i)] for i in rng.choice(len(nids), size=25, replace=False)]
+        rows = shortest_paths_to_targets(adj, o, targets, 10000.0)
+        for r in rows:
+            res = bidirectional_dijkstra(adj, adj_r, o, int(r["d_node"]), 10000.0)
+            if r["cost"] == float("inf"):
+                assert res["cost"] == float("inf")
+            else:
+                # the two halves sum edge costs in different orders ->
+                # last-ulp differences on real-valued networks
+                assert abs(res["cost"] - r["cost"]) <= 1e-9 * max(1.0, r["cost"])
