@@ -437,6 +437,23 @@ def q_geo_path_cut(spark, sf):
                     F.round("x1", 6).alias("x1_r"), F.round("y1", 6).alias("y1_r"))
 
 
+def q_eval_edr(spark, sf):
+    """Edit Distance on Real sequence eval (SURVEY.md §2.11, reference
+    trajDist.py:55-88) over the same classic-match + cut + 25 m resample
+    chain as eval_lcss; full anti-diagonal DP twin in SQL."""
+    from dataclasses import replace
+    from st_mapmatching_spark.operators.candidates import extract_simplify
+    from st_mapmatching_spark.operators.matching import match_pages
+    from st_mapmatching_spark.operators.metrics import eval_similarity
+    cfgc = replace(CFG, beam_search=False, dir_trans=False)
+    pages = _render_pages(_pts(spark, sf))
+    matched = match_pages(spark, pages, _net(), cfgc)
+    points = extract_simplify(pages, cfgc)
+    return (eval_similarity(spark, matched, points, _net(), cfgc,
+                            metric="edr", resample=25.0)
+            .select("url", F.round("metric_value", 6).alias("edr_r")))
+
+
 def q_match_single_point(spark, sf):
     """STATUS_ONE_POINT branch through the real pipeline (reference
     matching.py:128-135): one-point trajectories -> best candidate edge,
@@ -804,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only
         "match_grid": q_match_grid,
         "match_grid_classic": q_match_grid_classic,
+        "eval_edr": q_eval_edr,
         "match_single_point": q_match_single_point,
         "match_bbox_outside": q_match_bbox_outside,
         "match_path_geom": q_match_path_geom,
@@ -1426,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "match_grid": _match_sql().match_grid_oracle_sql(),
         "match_grid_classic": _match_sql().match_grid_classic_oracle_sql(),
         "eval_lcss": _match_sql().eval_lcss_oracle_sql(),
+        "eval_edr": _match_sql().eval_edr_oracle_sql(),
         "match_single_point": _match_sql().match_single_point_oracle_sql(),
         "match_bbox_outside": _match_sql().match_bbox_outside_oracle_sql(),
 

@@ -975,3 +975,54 @@ def match_bbox_outside_oracle_sql() -> str:
     return (f"WITH {PTS}\n"
             "SELECT DISTINCT url, CAST(3 AS INT) AS status, '' AS epath_s "
             "FROM points")
+
+
+# ---------------------------------------------------------------------------
+# eval_edr twin: same classic-match + cut + resample chain as eval_lcss,
+# different DP (reference trajDist.py:55-88): c[i][0]=i, c[0][j]=j,
+# c[i][j] = min(c[i][j-1]+1, c[i-1][j]+1, c[i-1][j-1]+sub) — again by
+# anti-diagonals, with the boundary cells carried in the diagonal lists.
+# ---------------------------------------------------------------------------
+
+_LCSS_PREP, _LCSS_DP = LCSS.split("-- LCSS DP by anti-diagonals", 1)
+
+EDR = _LCSS_PREP + f"""-- EDR DP by anti-diagonals (boundaries in-band)
+edp(url, d, d1, d2) AS (
+  SELECT url, CAST(1 AS BIGINT),
+         -- D_1: c[0][1] = 1, c[1][0] = 1
+         list_transform(range(n0 + 1), i ->
+           CASE WHEN i = 0 AND n1 >= 1 THEN 1.0e0
+                WHEN i = 1 THEN 1.0e0 ELSE 0.0e0 END),
+         -- D_0: c[0][0] = 0
+         list_transform(range(n0 + 1), i -> 0.0e0)
+  FROM ab
+  UNION ALL
+  SELECT l.url, l.d + 1,
+         list_transform(range(a.n0 + 1), i ->
+           CASE WHEN (l.d + 1 - i) < 0 OR (l.d + 1 - i) > a.n1 THEN 0.0e0
+                WHEN i = 0 THEN CAST(l.d + 1 AS DOUBLE)
+                WHEN l.d + 1 = i THEN CAST(i AS DOUBLE)
+                ELSE least(l.d1[i + 1] + 1, l.d1[i] + 1,
+                           l.d2[i] + CASE WHEN
+                             sqrt((a.av[i].x - a.bv[l.d + 1 - i].x) * (a.av[i].x - a.bv[l.d + 1 - i].x)
+                                  + (a.av[i].y - a.bv[l.d + 1 - i].y) * (a.av[i].y - a.bv[l.d + 1 - i].y))
+                             < {fl(LCSS_EPS)} THEN 0.0e0 ELSE 1.0e0 END)
+           END),
+         l.d1
+  FROM edp l JOIN ab a USING (url)
+  WHERE l.d < a.n0 + a.n1
+),
+edr AS (
+  SELECT l.url, l.d1[a.n0 + 1] / greatest(a.n0, a.n1) AS v
+  FROM edp l JOIN ab a USING (url)
+  WHERE l.d = a.n0 + a.n1
+)
+"""
+
+EDR_FINAL = "SELECT url, round(v, 6) AS edr_r FROM edr"
+
+
+def eval_edr_oracle_sql() -> str:
+    """Full eval_edr twin (q_eval_edr: classic cfg, resample=25 m)."""
+    return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
+            f"{PAIRS},\n{CLASSIC},\n{EDR}\n{EDR_FINAL}")
