@@ -454,6 +454,23 @@ def q_eval_edr(spark, sf):
             .select("url", F.round("metric_value", 6).alias("edr_r")))
 
 
+def q_eval_erp(spark, sf):
+    """Edit distance with Real Penalty eval (SURVEY.md §2.11, reference
+    trajDist.py:90-124, gap point = origin) over the classic-match + cut
+    + 25 m resample chain; full anti-diagonal DP twin in SQL."""
+    from dataclasses import replace
+    from st_mapmatching_spark.operators.candidates import extract_simplify
+    from st_mapmatching_spark.operators.matching import match_pages
+    from st_mapmatching_spark.operators.metrics import eval_similarity
+    cfgc = replace(CFG, beam_search=False, dir_trans=False)
+    pages = _render_pages(_pts(spark, sf))
+    matched = match_pages(spark, pages, _net(), cfgc)
+    points = extract_simplify(pages, cfgc)
+    return (eval_similarity(spark, matched, points, _net(), cfgc,
+                            metric="erp", resample=25.0)
+            .select("url", F.round("metric_value", 6).alias("erp_r")))
+
+
 def q_match_single_point(spark, sf):
     """STATUS_ONE_POINT branch through the real pipeline (reference
     matching.py:128-135): one-point trajectories -> best candidate edge,
@@ -822,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_grid": q_match_grid,
         "match_grid_classic": q_match_grid_classic,
         "eval_edr": q_eval_edr,
+        "eval_erp": q_eval_erp,
         "match_single_point": q_match_single_point,
         "match_bbox_outside": q_match_bbox_outside,
         "match_path_geom": q_match_path_geom,
@@ -1445,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "match_grid_classic": _match_sql().match_grid_classic_oracle_sql(),
         "eval_lcss": _match_sql().eval_lcss_oracle_sql(),
         "eval_edr": _match_sql().eval_edr_oracle_sql(),
+        "eval_erp": _match_sql().eval_erp_oracle_sql(),
         "match_single_point": _match_sql().match_single_point_oracle_sql(),
         "match_bbox_outside": _match_sql().match_bbox_outside_oracle_sql(),
 

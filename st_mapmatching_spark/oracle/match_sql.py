@@ -1026,3 +1026,65 @@ def eval_edr_oracle_sql() -> str:
     """Full eval_edr twin (q_eval_edr: classic cfg, resample=25 m)."""
     return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
             f"{PAIRS},\n{CLASSIC},\n{EDR}\n{EDR_FINAL}")
+
+
+# ---------------------------------------------------------------------------
+# eval_erp twin: same prep chain; ERP DP (reference trajDist.py:90-124).
+# Reference quirk preserved: the boundary rows/columns are the FULL
+# gap-distance sums (c[i][0] = sum d(a,g) for every i >= 1), not running
+# sums. Gap point g = origin (eval_similarity passes np.zeros(2)), so
+# d(x, g) = sqrt(x^2 + y^2). Boundary sums are sequential folds (<= 1 ulp
+# from numpy's pairwise sum, absorbed by the 6-dp gate rounding).
+# ---------------------------------------------------------------------------
+
+ERP = _LCSS_PREP + f"""-- ERP DP by anti-diagonals (full-sum boundaries in-band)
+abg AS MATERIALIZED (
+  SELECT *,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(av, v -> sqrt(v.x * v.x + v.y * v.y))),
+           (a, x) -> a + x) AS r1sum,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(bv, v -> sqrt(v.x * v.x + v.y * v.y))),
+           (a, x) -> a + x) AS r2sum
+  FROM ab
+),
+pdp(url, d, d1, d2) AS (
+  SELECT url, CAST(1 AS BIGINT),
+         -- D_1: c[0][1] = r2sum, c[1][0] = r1sum
+         list_transform(range(n0 + 1), i ->
+           CASE WHEN i = 0 AND n1 >= 1 THEN r2sum
+                WHEN i = 1 THEN r1sum ELSE 0.0e0 END),
+         -- D_0: c[0][0] = 0
+         list_transform(range(n0 + 1), i -> 0.0e0)
+  FROM abg
+  UNION ALL
+  SELECT l.url, l.d + 1,
+         list_transform(range(a.n0 + 1), i ->
+           CASE WHEN (l.d + 1 - i) < 0 OR (l.d + 1 - i) > a.n1 THEN 0.0e0
+                WHEN i = 0 THEN a.r2sum
+                WHEN l.d + 1 = i THEN a.r1sum
+                ELSE least(
+                  l.d1[i] + sqrt(a.av[i].x * a.av[i].x + a.av[i].y * a.av[i].y),
+                  l.d1[i + 1] + sqrt(a.bv[l.d + 1 - i].x * a.bv[l.d + 1 - i].x
+                                     + a.bv[l.d + 1 - i].y * a.bv[l.d + 1 - i].y),
+                  l.d2[i] + sqrt((a.av[i].x - a.bv[l.d + 1 - i].x) * (a.av[i].x - a.bv[l.d + 1 - i].x)
+                                 + (a.av[i].y - a.bv[l.d + 1 - i].y) * (a.av[i].y - a.bv[l.d + 1 - i].y)))
+           END),
+         l.d1
+  FROM pdp l JOIN abg a USING (url)
+  WHERE l.d < a.n0 + a.n1
+),
+erp AS (
+  SELECT l.url, l.d1[a.n0 + 1] AS v
+  FROM pdp l JOIN abg a USING (url)
+  WHERE l.d = a.n0 + a.n1
+)
+"""
+
+ERP_FINAL = "SELECT url, round(v, 6) AS erp_r FROM erp"
+
+
+def eval_erp_oracle_sql() -> str:
+    """Full eval_erp twin (q_eval_erp: classic cfg, resample=25 m)."""
+    return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
+            f"{PAIRS},\n{CLASSIC},\n{ERP}\n{ERP_FINAL}")
