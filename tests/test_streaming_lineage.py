@@ -214,3 +214,61 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert list(got["a"].xs) == [0.0, 1.0, 2.0]   # merged across batches, pid order
     assert got["b"].n_points == 2
     assert list(got["b"].ys) == [5.0, 5.0]
+
+
+def test_stream_sessionize_out_of_order_batch_keeps_session_open(spark, tmp_path):
+    """Regression (round-3 advice): an out-of-order micro-batch OLDER than
+    the session's stored max event time must not pull the timeout
+    earlier. Batch order: t0+9min, then t0 (older), then a sentinel at
+    t0+13min — within gap_minutes=10 of the TRUE latest point (t0+9min),
+    so the session must still be open (no emission); a final sentinel far
+    ahead then closes it with all points merged."""
+    import pandas as pd
+
+    from st_mapmatching_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "pts_in")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2023-11-14 00:00:00")
+
+    def mk(rows, fn):
+        df = pd.DataFrame(rows, columns=["url", "pid_raw", "x", "y",
+                                         "t_epoch", "warc_ts"])
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(src, fn))
+
+    mk([("a", 1, 1.0, 0.0, 1, t0 + pd.Timedelta(minutes=9))], "b1.parquet")
+    mk([("a", 0, 0.0, 0.0, 0, t0)], "b2.parquet")  # out-of-order, older
+    # watermark reaches t0+13min: AFTER t0+gap (the buggy timeout, which
+    # would CLOSE the session here) but BEFORE t0+9min+gap (the correct
+    # one, which keeps it open)
+    mk([("z", 0, 9.0, 9.0, 0, t0 + pd.Timedelta(minutes=13))], "b3.parquet")
+    # second sentinel: its trigger STARTS with watermark 13min — past the
+    # buggy timeout (t0+10min) but before the correct one (t0+19min); the
+    # bug emits 'a' here, the fix keeps it open
+    mk([("z", 1, 9.1, 9.1, 1, t0 + pd.Timedelta(minutes=14))], "b4.parquet")
+    # a third point for the still-open session (within gap of the true
+    # latest): merges under the fix; starts a SECOND session row under
+    # the bug
+    mk([("a", 2, 2.0, 0.0, 2, t0 + pd.Timedelta(minutes=15))], "b5.parquet")
+    mk([("z", 2, 9.0, 9.0, 2, t0 + pd.Timedelta(hours=5))], "b6.parquet")
+
+    schema = ("url string, pid_raw long, x double, y double, t_epoch long, "
+              "warc_ts timestamp")
+    pts = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = stream_sessionize(pts, gap_minutes=10, watermark="0 seconds")
+    q = (sess.writeStream.outputMode("append")
+         .format("memory").queryName("sessions_ooo").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from sessions_ooo where url = 'a'").collect()
+    # exactly ONE session holding all three points; the buggy early
+    # timeout emits a 2-point session at b3 plus a separate 1-point one
+    assert len(rows) == 1, [(r.n_points, list(r.xs)) for r in rows]
+    r = rows[0]
+    assert r.n_points == 3
+    assert list(r.xs) == [0.0, 1.0, 2.0]
+    assert r.t_last == int((t0 + pd.Timedelta(minutes=15)).value // 1_000_000)
