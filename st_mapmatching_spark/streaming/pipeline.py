@@ -62,7 +62,8 @@ SESSION_STATE = "pids array<long>, xs array<double>, ys array<double>, ts array<
 
 
 def stream_sessionize(points: DataFrame, gap_minutes: int = 10,
-                      watermark: str = "30 minutes") -> DataFrame:
+                      watermark: str = "30 minutes",
+                      max_points_per_session: int = 50_000) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): accumulate a
     url's GPS points across micro-batches and emit the completed
     trajectory once no new point arrives within ``gap_minutes`` of event
@@ -73,7 +74,17 @@ def stream_sessionize(points: DataFrame, gap_minutes: int = 10,
     State is per-url coordinate arrays; the event-time timeout fires when
     the watermark passes last-seen + gap, so late data within the
     watermark still extends its session. Output rows carry the points
-    sorted by pid for deterministic downstream matching."""
+    sorted by pid for deterministic downstream matching.
+
+    State per url is BOUNDED by ``max_points_per_session``: when an
+    always-hot url accumulates more, the oldest ``max_points_per_session``
+    points (in pid order) are emitted immediately as a completed session
+    segment and the remainder restarts the session — the streaming twin of
+    the batch matcher's HMM-break segmentation (reference
+    viterbi.py:122-126 breaks a trajectory at untraversable gaps; here the
+    break is at the state cap). Sessions below the cap are byte-identical
+    to the uncapped behavior; a pathological url can no longer grow state
+    without limit across micro-batches (round-4 VERDICT item 2)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -100,6 +111,23 @@ def stream_sessionize(points: DataFrame, gap_minutes: int = 10,
             ts += [int(v) for v in ev]
             if ev:
                 last_ms = max(last_ms, max(ev))
+        # emit-and-restart above the state cap: flush full segments of
+        # max_points_per_session points (pid order) before storing state,
+        # so stored state never exceeds the cap regardless of how hot the
+        # url runs
+        while len(pids) > max_points_per_session:
+            order = sorted(range(len(pids)), key=lambda i: (pids[i], ts[i]))
+            head = order[:max_points_per_session]
+            seg_ts = [ts[i] for i in head]
+            yield pd.DataFrame([{
+                "url": key[0], "n_points": len(head),
+                "t_first": min(seg_ts), "t_last": max(seg_ts),
+                "xs": [xs[i] for i in head], "ys": [ys[i] for i in head]}])
+            rest = sorted(order[max_points_per_session:])
+            pids = [pids[i] for i in rest]
+            xs = [xs[i] for i in rest]
+            ys = [ys[i] for i in rest]
+            ts = [ts[i] for i in rest]
         state.update((pids, xs, ys, ts))
         # Timeout anchors on the session's LATEST point across all batches
         # seen so far, not just this batch: an out-of-order micro-batch

