@@ -43,6 +43,8 @@ from ..kernels.simplify import simplify_points
 from ..sources.extract import extract_points
 
 TRAJ_SCHEMA = "url string, pid_raw long, x double, y double, t_epoch long"
+# in-band dilation marker carried by the cell index (see network_frames)
+INDEX_PAD_COL = "__st_index_pad"
 POINTS_SCHEMA = "url string, pid int, x double, y double"
 # Slim refine output: geometry cuts are re-materialized later from the
 # broadcast network via (eid, seg_idx, ratio) — nested coordinate arrays
@@ -200,8 +202,15 @@ def network_frames(spark: SparkSession, net: Network,
     its probe radius (an under-dilated index silently drops in-radius
     candidates)."""
     pad = max(net.cfg.radius, cfg.radius if cfg is not None else 0.0)
-    idx = spark.createDataFrame(net.cell_index(pad=pad))
-    idx._st_index_pad = pad  # noqa: SLF001 — plan metadata for candidate_join
+    # the pad travels IN-BAND as column metadata, not as a Python attribute
+    # of the DataFrame object: an attribute is dropped by any
+    # transformation/persist/recreation and the guard would silently fail
+    # open (round-4 ADVICE). Column metadata survives every transformation
+    # that keeps the column, and candidate_join fails CLOSED when the
+    # marker column is absent.
+    idx = spark.createDataFrame(net.cell_index(pad=pad)).select(
+        "*", F.lit(float(pad)).alias(INDEX_PAD_COL,
+                                     metadata={"pad": float(pad)}))
     attrs = spark.createDataFrame(
         net.edge_attrs(),
         schema=("eid long, src long, dst long, way_id long, dir int, "
@@ -231,12 +240,19 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
     """
     cs = cfg.cell_size
     r = cfg.radius
-    idx_pad = getattr(cell_index, "_st_index_pad", None)
-    if idx_pad is not None and idx_pad < r:
+    if INDEX_PAD_COL not in cell_index.columns:
+        raise ValueError(
+            "cell_index carries no dilation marker column — build it with "
+            "network_frames(spark, net, cfg) so the probe-radius guard can "
+            "verify coverage (fail-closed: an unverifiable index could "
+            "silently drop in-radius candidates)")
+    idx_pad = cell_index.schema[INDEX_PAD_COL].metadata.get("pad")
+    if idx_pad is None or idx_pad < r:
         raise ValueError(
             f"cell index dilated by {idx_pad} m but probing with radius {r} m: "
             "in-radius candidates would be silently missed — rebuild the index "
             "with network_frames(spark, net, cfg)")
+    cell_index = cell_index.drop(INDEX_PAD_COL)
 
     covered = points.withColumn(
         "cell", cell_col(F.floor(F.col("x") / cs).cast("long"),

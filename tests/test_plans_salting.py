@@ -102,3 +102,31 @@ def test_blocked_neardup_plan_has_no_thetajoin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_index_pad_marker_is_in_band(spark):
+    """Round-4 ADVICE: the dilation pad must survive transformations and
+    persist (it used to ride on a Python attribute that any of those
+    drops, silently disabling the guard), and an index WITHOUT the marker
+    must be refused outright (fail closed, never fail open)."""
+    import pytest as _pytest
+    import __spark_entry__ as E
+    from st_mapmatching_spark.operators.candidates import (INDEX_PAD_COL,
+                                                           candidate_join,
+                                                           network_frames)
+    net = E._net()
+    p = E._pts(spark, "/root/testdata/sf0.001").select("url", "pid", "x", "y").limit(20)
+    idx, attrs = network_frames(spark, net)
+
+    # transformations + persist keep the marker -> guard still verifies
+    idx_t = idx.filter("eid >= 0").persist()
+    try:
+        n = candidate_join(p, idx_t, attrs, E.CFG, net=net).count()
+        assert n > 0
+    finally:
+        idx_t.unpersist()
+
+    # marker stripped -> refuse (the old attribute guard failed open here)
+    with _pytest.raises(ValueError, match="marker"):
+        candidate_join(p, idx.drop(INDEX_PAD_COL), attrs, E.CFG, net=net)
+
