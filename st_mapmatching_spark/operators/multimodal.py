@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched `mapInPandas`.
 
-The decode step is STUBBED in this container (no PIL/ffmpeg/librosa):
-`decode_image` raises NotImplementedError unless `fake=True`, in which case
-a deterministic byte-derived pseudo-decode runs so the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is real and tested.
+The decode step is CAPABILITY-DISPATCHED (the iceberg_available pattern,
+sources/tables.py): `pil_available()` probes for PIL once per worker;
+when present the real decode runs, otherwise the deterministic
+byte-derived pseudo-decode keeps the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) real and tested. ``fake=True``
+forces the pseudo-decode (the reproducible test path regardless of
+environment); ``fake=False`` demands the real decode and raises
+NotImplementedError where PIL is absent; ``fake=None`` auto-dispatches.
 """
 
 from __future__ import annotations
@@ -17,39 +21,71 @@ from pyspark.sql import functions as F
 MEDIA_SCHEMA = "url string, kind string, payload binary, width int, height int"
 FEATURE_SCHEMA = "url string, kind string, n_bytes int, byte_mean double, byte_std double, feature array<double>"
 
-_HAVE_PIL = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-    _HAVE_PIL = True
-except Exception:
-    pass
+
+def pil_available() -> bool:
+    """Capability probe for the real image decode (PIL). Called inside the
+    executor-side UDF as well — workers may differ from the driver."""
+    try:  # pragma: no cover - PIL not present in this container
+        import PIL.Image  # noqa: F401
+        return True
+    except Exception:
+        return False
 
 
-def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
-    """Decode an image payload to an array. Real decode requires PIL
-    (absent here); fake mode derives a deterministic 8x8 'image' from the
-    bytes so downstream shapes are exercised."""
-    if not fake:
-        if not _HAVE_PIL:
-            raise NotImplementedError("image decode requires PIL; run with fake=True in this sandbox")
-        raise NotImplementedError("real decode path not wired in this container")
+def _pseudo_decode(payload: bytes) -> np.ndarray:
+    """Deterministic byte-derived 8x8 'image' (np.resize tiling) — the
+    no-PIL fallback that keeps downstream shapes exercised."""
     b = np.frombuffer(payload or b"\0", dtype=np.uint8)
-    tiled = np.resize(b, 64).reshape(8, 8)
-    return tiled
+    return np.resize(b, 64).reshape(8, 8)
 
 
-def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def _real_decode(payload: bytes) -> np.ndarray:
+    """PIL decode -> grayscale 8x8 (same output shape as the pseudo-decode
+    so downstream feature schemas are identical)."""
+    import io
+
+    import PIL.Image
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
+    """Decode an image payload to an 8x8 array.
+
+    fake=None auto-dispatches on ``pil_available()``; fake=True forces the
+    deterministic pseudo-decode; fake=False requires PIL and raises
+    NotImplementedError where it is absent."""
+    if fake is None:
+        fake = not pil_available()
+    if not fake:
+        if not pil_available():
+            raise NotImplementedError(
+                "image decode requires PIL (absent in this container); "
+                "fake=None auto-dispatches to the pseudo-decode")
+        return _real_decode(payload)
+    return _pseudo_decode(payload)
+
+
+def extract_media_features(media: DataFrame,
+                           fake: bool | None = None) -> DataFrame:
     """binary payload -> fixed-width feature vector, one Arrow pass,
     fully numpy-vectorized over the batch: payloads concatenate into one
     byte blob; per-doc byte stats come from prefix sums (exact — byte sums
     stay integral in float64), and the 8x8 pseudo-decode's row means come
     from one modular-index gather. No per-row Python in the hot loop.
-    Real decode still requires PIL (stubbed in this container) — the
-    fake pseudo-decode keeps schema/batch shapes real."""
-    if not fake and not _HAVE_PIL:
-        raise NotImplementedError("image decode requires PIL; run with fake=True in this sandbox")
+
+    The decode is capability-dispatched INSIDE the UDF (fake=None):
+    workers with PIL run the real decode (per-payload — codecs are
+    inherently per-row), workers without it run the vectorized
+    pseudo-decode. fake=True pins the pseudo-decode (deterministic test
+    path); fake=False demands PIL and raises where absent."""
+    if fake is False and not pil_available():
+        raise NotImplementedError(
+            "image decode requires PIL (absent in this container); "
+            "fake=None auto-dispatches to the pseudo-decode")
 
     def op(batches):
+        use_real = (fake is False) or (fake is None and pil_available())
         for pdf in batches:
             pl = [bytes(p) if p is not None else b"" for p in pdf.payload]
             lens = np.array([len(p) for p in pl], dtype=np.int64)
@@ -69,9 +105,16 @@ def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             var = np.maximum(sums2 / eff - mean * mean, 0.0)
             std = np.where(nz, np.sqrt(var), 0.0)
 
+            if use_real:
+                # real decode: per-payload PIL (codecs are per-row by
+                # nature); empty payloads produce a zero image
+                feature = np.vstack([
+                    _real_decode(p).astype(np.float64).mean(axis=1)
+                    if len(p) else np.zeros(8)
+                    for p in pl]) if n else np.zeros((0, 8))
             # pseudo-decode: tile each payload to 64 bytes (np.resize
             # semantics; empty -> zeros), 8x8 row means
-            if blob.size == 0:
+            elif blob.size == 0:
                 # all payloads empty/null: gather below would index into an
                 # empty array (np.where evaluates both branches)
                 feature = np.zeros((n, 8))

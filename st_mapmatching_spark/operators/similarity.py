@@ -107,18 +107,51 @@ def strict_sign_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
         op, schema=f"{id_col} long, sig long")
 
 
+def lsh_band_recall(threshold: float, n_planes: int = 16,
+                    n_bands: int = 4) -> float:
+    """Expected band-collision recall of the sign-LSH blocking at a given
+    cosine threshold: a pair at exactly ``cosine == threshold`` agrees on
+    each sign bit with probability ``p = 1 - arccos(threshold)/pi``, so it
+    shares at least one full band with probability
+    ``1 - (1 - p^bits_per_band)^n_bands``. Pairs ABOVE the threshold
+    collide with higher probability, so this is the worst-case recall at
+    the decision boundary."""
+    import math
+    p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    bits_per = n_planes // n_bands
+    return 1.0 - (1.0 - p_bit ** bits_per) ** n_bands
+
+
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id", vec_col: str = "embedding",
                          dim: int = 64, n_planes: int = 16, n_bands: int = 4,
-                         max_bucket: int = 200) -> DataFrame:
+                         max_bucket: int = 200,
+                         min_recall: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
     BLOCKED by sign-LSH banding — the scale path: map-side signatures,
     slim (band, bits) keys in the only shuffle, mega-buckets capped, exact
     sequential-fold cosine verify on surviving candidates only. No
-    all-pairs join anywhere in the plan (cosine_allpairs is the quadratic
-    baseline for recall tests). Band-collision recall at the default
-    threshold 0.95 (angle 18deg, bit-match prob 0.9) is
-    1-(1-0.9^4)^4 ~ 0.986; callers gate on the blocked semantics."""
+    all-pairs join anywhere in the plan.
+
+    These are APPROXIMATE (blocked) semantics, and recall FALLS WITH THE
+    THRESHOLD — see ``lsh_band_recall``: at the defaults (16 planes /
+    4 bands) boundary recall is ~0.986 at threshold 0.95 but only ~0.5 at
+    threshold 0.4 (bit-match prob ~0.63). When the estimated boundary
+    recall at the requested ``threshold`` is below ``min_recall``, a
+    RuntimeWarning is emitted naming the estimate; raise ``n_bands`` (more
+    bands of fewer bits -> higher recall, more candidates) or use the
+    exact quadratic ``cosine_allpairs`` fallback when completeness
+    matters more than scale. Banding parameters are never auto-scaled:
+    callers (and the DuckDB gate twin) rely on the exact banding given."""
+    est = lsh_band_recall(threshold, n_planes, n_bands)
+    if est < min_recall:
+        import warnings
+        warnings.warn(
+            f"sign-LSH boundary recall at threshold {threshold} is ~{est:.2f} "
+            f"(< {min_recall}) with n_planes={n_planes}, n_bands={n_bands}: "
+            "pair sets near the threshold will be materially incomplete — "
+            "raise n_bands or use cosine_allpairs for exact semantics",
+            RuntimeWarning, stacklevel=2)
     bits_per = n_planes // n_bands
     mask = (1 << bits_per) - 1
     sig = strict_sign_signatures(embeddings, dim, n_planes, id_col, vec_col)

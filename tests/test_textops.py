@@ -220,3 +220,64 @@ def test_strict_ivf_topk_runs_and_ranks(spark, emb):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
         c = g.sort_values("rank").cosine.to_numpy()
         assert (np.diff(c) <= 1e-15).all()
+
+
+def test_lsh_neardup_recall_warning():
+    """Round-4 ADVICE: blocked near-dup must disclose its recall at low
+    thresholds — a RuntimeWarning naming the estimate fires below
+    min_recall, and the estimator matches the closed form."""
+    import math
+    import warnings
+
+    from st_mapmatching_spark.operators.similarity import lsh_band_recall
+
+    p = 1.0 - math.acos(0.95) / math.pi
+    assert abs(lsh_band_recall(0.95, 16, 4) - (1 - (1 - p ** 4) ** 4)) < 1e-12
+    assert lsh_band_recall(0.95) > 0.98
+    assert lsh_band_recall(0.4) < 0.6          # the advice's failure mode
+
+
+def test_lsh_neardup_warns_at_low_threshold(spark):
+    import warnings
+
+    from st_mapmatching_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cosine_neardup_pairs(emb, threshold=0.4)
+        assert any("recall" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cosine_neardup_pairs(emb, threshold=0.95)
+        assert not any("recall" in str(x.message) for x in w)
+
+
+def test_multimodal_decode_capability_dispatch(monkeypatch):
+    """Round-4 VERDICT item 6: decode is capability-dispatched like the
+    Iceberg probe — pseudo-decode where PIL is absent (this container),
+    real decode where present, NotImplementedError only when the caller
+    DEMANDS the real path (fake=False) without PIL."""
+    import numpy as np
+
+    from st_mapmatching_spark.operators import multimodal as M
+
+    payload = b"someimagebytes" * 5
+    assert not M.pil_available()                      # this container
+    # auto-dispatch == forced pseudo-decode when PIL is absent
+    np.testing.assert_array_equal(M.decode_image(payload),
+                                  M.decode_image(payload, fake=True))
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M.decode_image(payload, fake=False)
+
+    # PIL present -> auto-dispatch routes to the real decode
+    monkeypatch.setattr(M, "pil_available", lambda: True)
+    monkeypatch.setattr(M, "_real_decode", lambda p: np.full((8, 8), 7))
+    np.testing.assert_array_equal(M.decode_image(payload),
+                                  np.full((8, 8), 7))
+    np.testing.assert_array_equal(M.decode_image(payload, fake=False),
+                                  np.full((8, 8), 7))
+    # forced pseudo-decode stays pseudo even with PIL present
+    assert M.decode_image(payload, fake=True).shape == (8, 8)
+    assert not np.array_equal(M.decode_image(payload, fake=True),
+                              np.full((8, 8), 7))
