@@ -740,6 +740,69 @@ def match_grid_classic_oracle_sql() -> str:
             f"{PAIRS},\n{CLASSIC}\n{CLASSIC_FINAL}")
 
 
+def match_path_geom_wrap_oracle_sql(path_margin: int = 25) -> str:
+    """Matched-path geometry over the wrap/boundary COMPLEMENT of the
+    clean snake subset (q_match_path_geom_wrap). The closed-form oracle of
+    match_path_geom cannot cover these urls (their endpoints sit near grid
+    nodes where the ±20 m noise creates emission ties with no closed
+    form), so the expected rows are derived from the FULL beam-decode
+    twin's epath + step_0/step_n, with the first/last-edge fractional cuts
+    applied in SQL — the matched_path_geometry twin
+    (operators/postprocess.py:53-112, reference postprocess.py:99-123)."""
+    wrap = f"""
+wrapu AS MATERIALIZED (
+  SELECT url FROM (
+    SELECT url,
+           (CAST(str_split(url, '_')[2] AS BIGINT) * {D.A_USER})
+             % {int(D.SNAKE_LEN)} AS s0,
+           (CAST(str_split(url, '_')[2] AS BIGINT) * {D.A_USER})
+             % {int(D.SNAKE_LEN)} + max(pid) * {int(D.STEP_M)} AS s1
+    FROM points GROUP BY url)
+  WHERE NOT (s1 < {int(D.SNAKE_LEN)}
+             AND s0 % {int(D.S)} BETWEEN {path_margin} AND {int(D.S) - path_margin}
+             AND s1 % {int(D.S)} BETWEEN {path_margin} AND {int(D.S) - path_margin})
+),
+gstat AS MATERIALIZED (
+  SELECT m.url, m.epath,
+         CASE WHEN len(m.epath) = 1
+              THEN CASE WHEN m.end_prob < {fl(CFG.prob_thres)} THEN 4 ELSE 1 END
+              WHEN pow(m.transprod, 1.0 / m.n_steps) < {fl(CFG.prob_thres)} THEN 4
+              ELSE 0 END AS status
+  FROM bmetr m JOIN wrapu USING (url)
+),
+gstep AS MATERIALIZED (
+  SELECT d.url, d.epath,
+         c0.len0 / (c0.len0 + c0.len1) AS step_0,
+         cn.len0 / (cn.len0 + cn.len1) AS step_n
+  FROM gstat d
+  JOIN bpath f USING (url)
+  JOIN lpids lp USING (url)
+  JOIN cand c0 ON c0.url = d.url AND c0.pid = lp.pids[1] AND c0.eid = f.rpath[1]
+  JOIN cand cn ON cn.url = d.url AND cn.pid = lp.pids[len(lp.pids)]
+              AND cn.eid = f.rpath[len(f.rpath)]
+  WHERE d.status IN (0, 1)
+),
+grows AS (
+  SELECT url, step_0, step_n, len(epath) AS n, t.i - 1 AS seq, epath[t.i] AS eid
+  FROM gstep, LATERAL (SELECT unnest(range(1, len(epath) + 1)) AS i) t
+)"""
+    final = f"""
+SELECT url, CAST(seq AS INT) AS seq, eid,
+       round(CASE WHEN n = 1 THEN {fl(S)} * abs(step_n - step_0)
+                  WHEN seq = 0 THEN {fl(S)} * (1.0 - step_0)
+                  WHEN seq = n - 1 THEN {fl(S)} * step_n
+                  ELSE {fl(S)} END, 1) AS dist_r,
+       round(CASE WHEN seq = 0 OR n = 1
+                  THEN {EAX('eid')} + ({EBX('eid')} - {EAX('eid')}) * step_0
+                  ELSE {EAX('eid')} END, 1) AS x0_r,
+       round(CASE WHEN seq = n - 1
+                  THEN {EAY('eid')} + ({EBY('eid')} - {EAY('eid')}) * step_n
+                  ELSE {EBY('eid')} END, 1) AS y1_r
+FROM grows"""
+    return (f"WITH RECURSIVE {PTS},\n{QUANT},\n{DP},\n{EDGES2},\n{CAND},\n"
+            f"{PAIRS},\n{PRSG},\n{BEAM},{wrap}\n{final}")
+
+
 # ---------------------------------------------------------------------------
 # eval_lcss twin: classic-decode match output -> fraction-cut path geometry
 # -> 25 m resample (resample_polyline twin) -> LCSS DP as an anti-diagonal
