@@ -27,7 +27,18 @@ HEADLINE = [
     "rel_topk_orders",   # window top-k
     "dedup_minhash",     # MinHash LSH near-dup
     "sim_cosine_topk",   # brute-force ANN baseline
+    # round-5 additions (VERDICT item 8): three of the heaviest gates were
+    # invisible to round-over-round perf tracking, plus lang_id to make the
+    # stopword-scan rework measurable. r4-engine baselines for all four are
+    # recorded in BENCH/NOTES.md; the pre-r5 8-query total remains the
+    # comparable series ("total_r4suite" below).
+    "geo_simplify",      # distributed Douglas-Peucker
+    "dedup_simhash",     # SimHash near-dup (vectorized FNV)
+    "match_path_geom",   # match + path-geometry cut pipeline
+    "text_lang_id",      # stopword-density language ID
 ]
+
+R4_SUITE = HEADLINE[:8]  # the series comparable to BENCH_r0{1..4}.json
 
 
 def run_once(sf_dir: str, cpus: str) -> dict:
@@ -61,6 +72,7 @@ def run_once(sf_dir: str, cpus: str) -> dict:
     out = {
         "metric": "headline_suite_sec",
         "value": total,
+        "total_r4suite": round(sum(times[q] for q in R4_SUITE), 3),
         "unit": "sec",
         "iterations": 3,
         "agg": "min",
