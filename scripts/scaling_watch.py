@@ -61,9 +61,45 @@ def probe() -> dict:
     return bench.host_probe(int(LO), int(HI))
 
 
+def probe_settled(settle: int = 0) -> dict:
+    """Two samples with a settle delay, report the healthier one.
+
+    Measured artifact (attempts 1-3, WATCH_r05.jsonl): immediately after a
+    Spark leg's JVM exits and frees ~100 GB, the FIRST 2-proc stream
+    sample runs ~5x its typical speed (fresh free pages, no reclaim
+    pressure) while the 8-proc sample lands back at normal — producing a
+    bogus 0.3x "collapse" from a 2-proc-side artifact. A genuine host
+    collapse suppresses the 8-proc side instead. Settling and taking the
+    best of two samples removes the false discards while a real collapsed
+    phase still fails both samples."""
+    if settle:
+        time.sleep(settle)
+    p1 = probe()
+    time.sleep(10)
+    p2 = probe()
+    best = max((p1, p2), key=lambda p: p["stream"]["scaling_lo_to_hi"])
+    best = dict(best)
+    best["samples_stream"] = [p1["stream"]["scaling_lo_to_hi"],
+                              p2["stream"]["scaling_lo_to_hi"]]
+    return best
+
+
+# healthy 8-proc aggregate stream throughput runs 8-20 units; the genuine
+# collapsed phases measured 5.9-6.5 at 8 procs WITH a fast 2-proc leg.
+STREAM_HI_ABS_OK = 8.0
+
+
 def healthy(p: dict) -> bool:
-    return (p["stream"]["scaling_lo_to_hi"] >= STREAM_OK
-            and p["compute"]["scaling_lo_to_hi"] >= COMPUTE_OK)
+    if p["compute"]["scaling_lo_to_hi"] < COMPUTE_OK:
+        return False
+    if p["stream"]["scaling_lo_to_hi"] >= STREAM_OK:
+        return True
+    # ratio depressed by the post-JVM-exit 2-proc artifact: accept when the
+    # 8-proc side shows healthy ABSOLUTE bandwidth (keys are ints
+    # in-process, strings after a JSON round-trip)
+    at = p["stream"]["agg_throughput"]
+    hi = at.get(int(HI), at.get(str(HI), 0.0))
+    return hi >= STREAM_HI_ABS_OK
 
 
 def foreground_busy() -> bool:
@@ -107,14 +143,14 @@ def main() -> int:
         attempt += 1
         log({"event": "pair_start", "attempt": attempt, "mult": mult, "pre": pre})
         rlo = run_leg(LO, mult)
-        mid = probe()
+        mid = probe_settled(settle=20)
         if rlo is None or not healthy(mid):
             log({"event": "pair_discard", "attempt": attempt, "stage": "mid",
                  "mid": mid})
             time.sleep(SLEEP_UNHEALTHY)
             continue
         rhi = run_leg(HI, mult)
-        post = probe()
+        post = probe_settled(settle=20)
         if rhi is None or not healthy(post):
             log({"event": "pair_discard", "attempt": attempt, "stage": "post",
                  "post": post})

@@ -517,3 +517,69 @@ def build_network_from_osm_xml(spark: SparkSession, source,
                           "geom"]].copy()
     net_nodes = nodes_pd[["nid", "x", "y"]].copy()
     return Network(net_edges, net_nodes, cfg), edges_pd
+
+
+# ---------------------------------------------------------------------------
+# Overpass downloader (capability-probed — this sandbox has no network;
+# the URL construction, idempotent caching, streaming write, and the
+# fetcher seam are real and unit-tested with a mock fetcher)
+# ---------------------------------------------------------------------------
+
+OVERPASS_URL = "http://overpass-api.de/api/map?bbox={bbox}"
+
+
+def _default_fetcher(url: str):
+    """Streaming HTTP GET -> iterator of byte chunks. Split out so tests
+    (and offline environments) inject their own fetcher; raises
+    RuntimeError with guidance when no HTTP client/network is usable."""
+    try:
+        import urllib.request
+        resp = urllib.request.urlopen(url, timeout=60)
+    except Exception as ex:  # pragma: no cover - no network in sandbox
+        raise RuntimeError(
+            f"Overpass download needs network access (failed: {ex}); "
+            "fetch the extract out-of-band and point the OSM ingest at the "
+            "file, or pass fetcher=") from ex
+
+    def chunks():
+        while True:
+            b = resp.read(1 << 20)
+            if not b:
+                resp.close()
+                return
+            yield b
+    return chunks()
+
+
+def download_osm_xml(fn, bbox, fetcher=None, verbose: bool = False) -> bool:
+    """Overpass bbox extract -> local .osm XML file (the reference's
+    osmnet/downloader.py:5-45 twin): idempotent (existing file short-
+    circuits), parent dirs created, bbox list joined to the
+    lon0,lat0,lon1,lat1 query form, response streamed to disk in chunks.
+
+    Unlike the reference (bare ``except: return False``), failures raise
+    with guidance — a silent False there turned network trouble into a
+    confusing empty-network error two stages later. ``fetcher`` injects
+    the transport (tests use a mock; default is urllib streaming)."""
+    from pathlib import Path
+
+    fn = Path(fn)
+    if fn.exists():
+        return True
+    fn.parent.mkdir(parents=True, exist_ok=True)
+    if isinstance(bbox, (list, tuple)) or hasattr(bbox, "tolist"):
+        bbox = ",".join(str(v) for v in bbox)
+    url = OVERPASS_URL.format(bbox=bbox)
+    if verbose:
+        print(f"downloading {url} -> {fn}")
+    chunks = (fetcher or _default_fetcher)(url)
+    tmp = fn.with_suffix(fn.suffix + ".part")
+    try:
+        with open(tmp, "wb") as f:
+            for chunk in chunks:
+                if chunk:
+                    f.write(chunk)
+        tmp.rename(fn)       # atomic publish: no half-written extracts
+    finally:
+        tmp.unlink(missing_ok=True)
+    return True
