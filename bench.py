@@ -138,6 +138,14 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
            "trajs_per_sec": round(n_trajs / t_match, 2),
            "tile_assignments_per_sec": round(n_assign / t_tiles, 2)}
     spark.stop()
+    # every leg persists its own record: a crash in whatever launched the
+    # leg (watcher, --scaling driver) must never lose a measured leg
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/LEGS.jsonl", "a") as f:
+            f.write(json.dumps({**out, "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}) + "\n")
+    except OSError:
+        pass
     return out
 
 
