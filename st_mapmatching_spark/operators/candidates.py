@@ -223,7 +223,8 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                    net: Network | None = None,
                    padded_geoms=None, slim: bool = False,
                    salt_hot_cells: int = 0, hot_threshold: int = 1000,
-                   hot_sample_frac: float | None = None) -> DataFrame:
+                   hot_sample_frac: float | None = None,
+                   url_local: bool = False) -> DataFrame:
     """points(url,pid,x,y metric) x edges -> candidates with projection.
 
     Plan: each point probes its OWN cell (pure column math, no explode)
@@ -342,14 +343,31 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
 
     refined = (cands.mapInArrow(refine, schema=url_typed(
                    REFINE_SCHEMA_SLIM if slim else REFINE_SCHEMA, points))
-               .filter(F.col("dist_p2c") <= r)
-               # One deliberate shuffle on url: url-hash partitioning is a
-               # subset of every downstream clustering key — (url,pid,eid)
-               # dedupe, (url,pid) top-k window, (url) emission window, the
-               # (url,pid_*) pair self-joins — so Catalyst elides all their
-               # exchanges. A (url,pid,eid) pair can arrive via multiple
-               # cover cells; the refine is deterministic, so dedupe after.
-               .repartition("url")
+               .filter(F.col("dist_p2c") <= r))
+
+    if slim and url_local:
+        # Caller guarantees url-locality: points came from a
+        # one-row-per-trajectory source (pages), so an url's points are
+        # emitted inside one extract task and the whole chain down to here
+        # is narrow — every url's candidates are already contiguous in
+        # exactly one partition. The url shuffle below is then
+        # structurally redundant, and it is the scaling bottleneck of the
+        # matcher (profile_leg: the only stages whose per-task CPU
+        # inflates ~3x with core count are the candidate shuffle
+        # write/read — memory-bandwidth-bound JVM serialization; the
+        # Python kernels scale at ~1.05x). The dilated-index join emits
+        # each (url, pid, eid) exactly once (guarded above), so the
+        # dedupe is a no-op, and fused_match(cut_topk=True) applies the
+        # identical (dist_p2c, eid) top-k cut in-kernel.
+        return refined
+
+    # One deliberate shuffle on url: url-hash partitioning is a
+    # subset of every downstream clustering key — (url,pid,eid)
+    # dedupe, (url,pid) top-k window, (url) emission window, the
+    # (url,pid_*) pair self-joins — so Catalyst elides all their
+    # exchanges. A (url,pid,eid) pair can arrive via multiple
+    # cover cells; the refine is deterministic, so dedupe after.
+    refined = (refined.repartition("url")
                .dropDuplicates(["url", "pid", "eid"]))
 
     w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")

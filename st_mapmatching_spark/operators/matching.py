@@ -418,7 +418,8 @@ class SpPayload:
 
 
 def fused_match(spark: SparkSession, cands: DataFrame,
-                sp: DataFrame, net: Network, cfg: MatchConfig) -> DataFrame:
+                sp: DataFrame, net: Network, cfg: MatchConfig,
+                cut_topk: bool = False) -> DataFrame:
     """Per-trajectory pair build + flags + scoring + Viterbi + stitch in ONE
     shuffle-free Arrow stage over the url-partitioned candidate table.
 
@@ -458,6 +459,22 @@ def fused_match(spark: SparkSession, cands: DataFrame,
         from ..kernels.dir_stats import engine_dir_probs
         from ..kernels.geodesy import bearing_deg
         from ..kernels.linear_ref import project_core
+
+        if cut_topk:
+            # url-local path (candidate_join url_local=True skipped the
+            # shuffle + row_number window): apply the identical top-k cut
+            # here. Rows arrive sorted (url, pid, dist_p2c, eid), so
+            # row_number() <= k is exactly rank-within-layer < k.
+            u0 = pdf.url.to_numpy()
+            pp = pdf.pid.to_numpy()
+            head = np.concatenate(
+                [[True], (pp[1:] != pp[:-1]) | (u0[1:] != u0[:-1])])
+            starts = np.flatnonzero(head)
+            lens = np.diff(np.concatenate([starts, [len(pp)]]))
+            rank = np.arange(len(pp)) - np.repeat(starts, lens)
+            keep = rank < cfg.top_k
+            if not keep.all():
+                pdf = pdf.iloc[np.flatnonzero(keep)]
 
         u = pdf.url.to_numpy()
         n = len(pdf)
@@ -684,16 +701,30 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     engine's non-throwing version of the reference's bbox assert
     (matching.py:155-168)."""
     points = extract_simplify(pages, cfg)
-    return match_points(spark, points, net, cfg, broadcast_index, fused)
+    # pages are one row per url, so extraction leaves every url's points
+    # inside one partition — the matcher may drop its url shuffle
+    return match_points(spark, points, net, cfg, broadcast_index, fused,
+                        url_local=True)
 
 
 def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                  cfg: MatchConfig = MatchConfig(), broadcast_index: bool = True,
-                 fused: bool = True) -> DataFrame:
+                 fused: bool = True, url_local: bool = False) -> DataFrame:
     """Match pre-extracted metric points (url, pid, x, y) — the pipeline
     below the text extractor; used by match_pages and by operators that
     synthesize point tables directly (e.g. the topology repair loop's
     reversed re-match).
+
+    url_local=True asserts every url's points sit in one partition already
+    (true when they were exploded from a one-row-per-url pages table, as
+    match_pages does) — the candidate url shuffle, global dedupe, and
+    top-k window are then skipped and, on the memoized-sp (small network)
+    fused path, the whole matcher runs as ONE shuffle-free narrow stage:
+    cache-read -> cell join (broadcast) -> refine -> in-kernel top-k ->
+    score -> Viterbi, with no intermediate candidate materialization.
+    That stage is embarrassingly parallel — the plan that scales at
+    1000 executors — and measured per-task CPU stays flat with core count
+    where the shuffle's serialization inflated ~3x (profile_leg).
 
     url dictionary-encoding (cfg.url_id_encode): the url string would
     otherwise ride through every stage (refine -> shuffle -> top-k window
@@ -716,13 +747,21 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     else:
         both = points = points_in.persist()
     cell_index, edge_attrs = network_frames(spark, net, cfg)
+    nids, _ = net.node_xy_arrays()
+    small_net = fused and len(nids) ** 2 <= min(4_000_000,
+                                                cfg.sp_broadcast_max_rows)
+    # streaming path: no cands persist — the candidate chain has exactly
+    # one consumer (fused_match); the no-cand anti-join reads the small
+    # matched output instead
+    local_fast = url_local and small_net
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
-                           net=net, slim=fused).persist()
-    pairs = full = sp = None
+                           net=net, slim=fused, url_local=local_fast)
+    if not local_fast:
+        cands = cands.persist()
+    pairs = full = sp = matched_p = None
 
     if fused:
-        nids, _ = net.node_xy_arrays()
-        if len(nids) ** 2 <= min(4_000_000, cfg.sp_broadcast_max_rows):
+        if small_net:
             # small network: the all-pairs demand superset depends only on
             # the NETWORK, so the payload is memoized on it — repeated
             # match calls (the repair loop, benchmark iterations, repeated
@@ -742,8 +781,17 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                 payload = SpPayload(
                     shortest_path_table(spark, demands, net, cfg).toPandas())
                 cache[key] = payload
-            matched = fused_match(spark, cands, payload, net, cfg)
-            out = _with_no_cand_rows(matched, points, cands)
+            matched = fused_match(spark, cands, payload, net, cfg,
+                                  cut_topk=local_fast)
+            if local_fast:
+                # matched feeds both the output union and the no-cand
+                # anti-join (its url set == cands' url set: every url
+                # group yields exactly one row); persisting it — one slim
+                # row per url — is what lets cands stay unpersisted
+                matched = matched_p = matched.persist()
+                out = _with_no_cand_rows(matched, points, matched)
+            else:
+                out = _with_no_cand_rows(matched, points, cands)
         elif (sp := shortest_path_table(
                 spark, sp_demands(cands, edge_attrs), net, cfg).persist())                 .count() <= cfg.sp_broadcast_max_rows:
             matched = fused_match(spark, cands, sp, net, cfg)
@@ -788,7 +836,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     out = out.persist()
     out.count()  # materialize, then release the intermediate caches —
     # leaving them pinned degrades successive runs via eviction churn
-    for df in (both, cands, pairs, full, sp):
+    for df in (both, cands, pairs, full, sp, matched_p):
         if df is not None:
             df.unpersist()
     return out
@@ -797,8 +845,11 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
 def _with_no_cand_rows(matched: DataFrame, points: DataFrame,
                        cands: DataFrame) -> DataFrame:
     """Re-attach status-3 rows for urls with no candidates anywhere.
-    Anti-join against the *persisted* cands — referencing `matched` here
-    would make the expensive cogroup branch compute twice per action."""
+    ``cands`` must be a persisted (or otherwise cheap) frame whose url set
+    equals the candidate-bearing urls: the persisted candidate table on
+    the staged paths, or the persisted matched output itself on the
+    streaming url-local path — never an unpersisted heavy subtree, which
+    would compute twice per action."""
     no_cands = (points.select("url").distinct()
                 .join(cands.select("url"), "url", "left_anti")
                 .select("url",

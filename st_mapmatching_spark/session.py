@@ -38,7 +38,9 @@ def get_spark(cores: int | str = "*", app: str = "st_mapmatching_spark",
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves ~1 s startup + a port); profiling tools
+        # (scripts/profile_leg.py) flip it on to read stage metrics via REST
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # local mode funnels every shuffle through one host disk — that
         # shared bottleneck caps core-scaling and does not exist on a real
