@@ -165,6 +165,12 @@ def main() -> int:
     deadline = time.time() + MAX_HOURS * 3600
     attempt = 0
     pairs = []
+    # the hot path changed mid-round (url-local streaming matcher) — tag
+    # every pair with the engine commit and seed the median pool only from
+    # same-engine records, so medians never mix engine generations
+    engine = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True,
+                            cwd=REPO).stdout.strip()
     # seed from prior pair_done records so restarts keep the pool
     if os.path.exists(LOG):
         for line in open(LOG):
@@ -172,7 +178,7 @@ def main() -> int:
                 r = json.loads(line)
             except ValueError:
                 continue
-            if r.get("event") == "pair_done":
+            if r.get("event") == "pair_done" and r.get("engine") == engine:
                 pairs.append(r)
     write_summary(pairs)
     in_band_at_mult = any(TARGET <= p["eff_match"] <= BAND_HI
@@ -207,6 +213,7 @@ def main() -> int:
         eff_tiles = (rhi["tile_assignments_per_sec"]
                      / rlo["tile_assignments_per_sec"]) / ratio
         rec = {"event": "pair_done", "attempt": attempt, "mult": mult,
+               "engine": engine,
                "eff_match": round(eff, 3), "eff_tiles": round(eff_tiles, 3),
                "lo": rlo, "hi": rhi,
                "probes": {"pre": pre, "mid": mid, "post": post}}

@@ -702,14 +702,20 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     (matching.py:155-168)."""
     points = extract_simplify(pages, cfg)
     # pages are one row per url, so extraction leaves every url's points
-    # inside one partition — the matcher may drop its url shuffle
+    # inside one partition — the matcher may drop its url shuffle — and
+    # the pages url column IS the url universe (Catalyst prunes the
+    # render/text columns out of this scan), so the matcher can also skip
+    # its points persist + distinct. Consequence: a page whose text yields
+    # ZERO extractable points still gets a status-3 output row — every
+    # input page produces exactly one output row.
     return match_points(spark, points, net, cfg, broadcast_index, fused,
-                        url_local=True)
+                        url_local=True, urls=pages.select("url"))
 
 
 def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                  cfg: MatchConfig = MatchConfig(), broadcast_index: bool = True,
-                 fused: bool = True, url_local: bool = False) -> DataFrame:
+                 fused: bool = True, url_local: bool = False,
+                 urls: DataFrame | None = None) -> DataFrame:
     """Match pre-extracted metric points (url, pid, x, y) — the pipeline
     below the text extractor; used by match_pages and by operators that
     synthesize point tables directly (e.g. the topology repair loop's
@@ -726,6 +732,14 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     1000 executors — and measured per-task CPU stays flat with core count
     where the shuffle's serialization inflated ~3x (profile_leg).
 
+    urls: optional one-row-per-url frame (column ``url``, string domain,
+    caller-guaranteed distinct — e.g. ``pages.select("url")``, one row
+    per url by construction of the render groupBy). Supplies the
+    status-3 anti-join universe and the url-restore dim without scanning
+    the points table; with url_local it also removes the points persist
+    (single consumer). A url present here but absent from points_in
+    yields a status-3 row.
+
     url dictionary-encoding (cfg.url_id_encode): the url string would
     otherwise ride through every stage (refine -> shuffle -> top-k window
     -> fused sort -> Viterbi) and dominate Arrow batch bytes on the
@@ -735,17 +749,6 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     result. Collision odds are n^2/2^65 (~5e-10 at 1e5 trajectories);
     for >1e8-trajectory corpora set url_id_encode=False or pre-assign
     numeric ids upstream."""
-    encode = cfg.url_id_encode and dict(points_in.dtypes).get("url") == "string"
-    if encode:
-        # persist carries BOTH forms; the pipeline reads the long, the
-        # restore dim reads both — all from the same cached table
-        both = points_in.withColumn("_uid", F.xxhash64("url")).persist()
-        points = both.select(F.col("_uid").alias("url"),
-                             *[c for c in points_in.columns if c != "url"])
-        url_dim = both.select(F.col("_uid").alias("url"),
-                              F.col("url").alias("_url_str")).distinct()
-    else:
-        both = points = points_in.persist()
     cell_index, edge_attrs = network_frames(spark, net, cfg)
     nids, _ = net.node_xy_arrays()
     small_net = fused and len(nids) ** 2 <= min(4_000_000,
@@ -754,6 +757,41 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     # one consumer (fused_match); the no-cand anti-join reads the small
     # matched output instead
     local_fast = url_local and small_net
+    # with a caller-provided url universe the points table TOO has exactly
+    # one consumer (the candidate chain): extraction streams straight into
+    # the fused kernel with no cache materialization, and the url-restore
+    # dim + no-cand universe derive from the slim urls frame instead of a
+    # full points-cache scan + distinct exchange each (profile_leg: those
+    # two scans were ~20% of task-CPU and inflate 1.8x with core count)
+    stream_pts = local_fast and urls is not None
+    encode = cfg.url_id_encode and dict(points_in.dtypes).get("url") == "string"
+    both = None
+    if encode:
+        src = points_in.withColumn("_uid", F.xxhash64("url"))
+        if not stream_pts:
+            # persist carries BOTH forms; the pipeline reads the long, the
+            # restore dim reads both — all from the same cached table
+            src = src.persist()
+            both = src
+        points = src.select(F.col("_uid").alias("url"),
+                            *[c for c in points_in.columns if c != "url"])
+        if urls is not None:
+            url_dim = urls.select(F.xxhash64("url").alias("url"),
+                                  F.col("url").alias("_url_str"))
+        else:
+            url_dim = src.select(F.col("_uid").alias("url"),
+                                 F.col("url").alias("_url_str")).distinct()
+    elif stream_pts:
+        points = points_in
+    else:
+        both = points = points_in.persist()
+    # the one-row-per-url universe for the status-3 anti-join, in the
+    # matcher's url domain (xxhash64-encoded when encode)
+    if urls is not None:
+        url_universe = urls.select(
+            F.xxhash64("url").alias("url") if encode else F.col("url"))
+    else:
+        url_universe = points.select("url").distinct()
     cands = candidate_join(points, cell_index, edge_attrs, cfg, broadcast_index,
                            net=net, slim=fused, url_local=local_fast)
     if not local_fast:
@@ -789,13 +827,13 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                 # group yields exactly one row); persisting it — one slim
                 # row per url — is what lets cands stay unpersisted
                 matched = matched_p = matched.persist()
-                out = _with_no_cand_rows(matched, points, matched)
+                out = _with_no_cand_rows(matched, url_universe, matched)
             else:
-                out = _with_no_cand_rows(matched, points, cands)
+                out = _with_no_cand_rows(matched, url_universe, cands)
         elif (sp := shortest_path_table(
                 spark, sp_demands(cands, edge_attrs), net, cfg).persist())                 .count() <= cfg.sp_broadcast_max_rows:
             matched = fused_match(spark, cands, sp, net, cfg)
-            out = _with_no_cand_rows(matched, points, cands)
+            out = _with_no_cand_rows(matched, url_universe, cands)
         else:
             # sp too large for a driver copy: rehydrate the slim candidates
             # (one shuffle-free Arrow pass) and run the relational tail;
@@ -806,7 +844,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
             pre = viterbi_match(full, scored, cfg, sp_paths=None)
             matched = attach_epath_relational(pre, sp, cfg)
-            out = _with_no_cand_rows(matched, points, cands)
+            out = _with_no_cand_rows(matched, url_universe, cands)
     else:
         pairs = build_pairs_df(cands, points, cfg).persist()
         demands = pairs.select("o_node", "d_node")
@@ -825,7 +863,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
             pre = viterbi_match(cands, scored, cfg, sp_paths=None)
             matched = attach_epath_relational(pre, sp, cfg)
-        out = _with_no_cand_rows(matched, points, cands)
+        out = _with_no_cand_rows(matched, url_universe, cands)
 
     if encode:
         # restore the url string: one slim equi-join on the final
@@ -842,15 +880,19 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     return out
 
 
-def _with_no_cand_rows(matched: DataFrame, points: DataFrame,
+def _with_no_cand_rows(matched: DataFrame, url_universe: DataFrame,
                        cands: DataFrame) -> DataFrame:
     """Re-attach status-3 rows for urls with no candidates anywhere.
-    ``cands`` must be a persisted (or otherwise cheap) frame whose url set
-    equals the candidate-bearing urls: the persisted candidate table on
-    the staged paths, or the persisted matched output itself on the
-    streaming url-local path — never an unpersisted heavy subtree, which
-    would compute twice per action."""
-    no_cands = (points.select("url").distinct()
+    ``url_universe`` is a one-row-per-url frame (column ``url``) holding
+    every input url — the caller either distincts the points table or, on
+    the pages path, passes the pages url set (cheaper: pruned through the
+    render aggregate, never touches extraction). ``cands`` must be a
+    persisted (or otherwise cheap) frame whose url set equals the
+    candidate-bearing urls: the persisted candidate table on the staged
+    paths, or the persisted matched output itself on the streaming
+    url-local path — never an unpersisted heavy subtree, which would
+    compute twice per action."""
+    no_cands = (url_universe.select("url")
                 .join(cands.select("url"), "url", "left_anti")
                 .select("url",
                         F.lit(hmm.STATUS_NO_CANDIDATES).alias("status"),
