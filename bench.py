@@ -234,7 +234,65 @@ def host_probe(lo: int = 8, hi: int = 32) -> dict:
     return res
 
 
+def kernel_probe(lo: int = 2, hi: int = 8, secs: float = 4.0) -> dict:
+    """The decisive engine-vs-host attribution probe: run the ENGINE'S OWN
+    hot kernel mix (the fused matcher's pandas sort + score_base_np +
+    composite-key searchsorted + segmented argsort, on arrays sized like a
+    real x64 leg partition) as bare multiprocessing — zero Spark, zero
+    JVM, zero Arrow. Work-units/s at lo and hi parallel processes gives
+    the host's achievable scaling ceiling FOR THIS WORKLOAD's bandwidth
+    profile. A Spark leg pair whose efficiency matches this ceiling is
+    host-bound, not engine-bound: the engine's one-stage shuffle-free plan
+    adds no serialization the bare kernels don't have."""
+    import multiprocessing as mp
+
+    def work(out, i, seconds):
+        import numpy as np
+        import pandas as pd
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from st_mapmatching_spark.kernels.hmm import score_base_np
+        rng = np.random.default_rng(42 + i)
+        n = 500_000  # ~ one x64-leg task's candidate-pair rows
+        pdf = pd.DataFrame({
+            "url": rng.integers(0, 3000, n), "pid": rng.integers(0, 66, n),
+            "dist": rng.random(n) * 50.0})
+        cost = rng.random(n) * 300.0
+        s0, sn = rng.random(n) * 40, rng.random(n) * 40
+        sp0, sp1, sps = (rng.random(n) * 20 for _ in range(3))
+        flag = rng.integers(0, 3, n).astype(np.int64)
+        d_euc = rng.random(n) * 120.0
+        key = rng.integers(0, 1 << 40, n)
+        t0, units = time.perf_counter(), 0
+        while time.perf_counter() - t0 < seconds:
+            srt = pdf.sort_values(["url", "pid", "dist"], kind="stable")
+            score_base_np(cost, s0, sn, sp0, sp1, sps, flag, pdf.dist.to_numpy(), d_euc)
+            sk = np.sort(key)
+            np.searchsorted(sk, key)
+            np.argsort(cost + srt.dist.to_numpy(), kind="stable")
+            units += 1
+        out[i] = units / (time.perf_counter() - t0)
+
+    res = {"cores": [lo, hi]}
+    per = {}
+    for np_ in (lo, hi):
+        out = mp.Manager().dict()
+        ps = [mp.Process(target=work, args=(out, i, secs)) for i in range(np_)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        per[np_] = round(sum(out.values()), 2)  # aggregate units/sec
+    res["kernel"] = {"agg_throughput": per,
+                     "scaling_lo_to_hi": round(per[hi] / per[lo], 2),
+                     "eff_vs_ideal": round(per[hi] / per[lo] / (hi / lo), 3)}
+    return res
+
+
 def main():
+    if "--kernel-probe" in sys.argv:
+        lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+        print(json.dumps({"metric": "kernel_probe",
+                          **kernel_probe(int(lo), int(hi))}))
+        return
+
     if "--scaling-leg" in sys.argv:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -41,7 +41,15 @@ def main(cores: str, mult: int):
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(cores=cores, app=f"profile-leg-{cores}")
     points = D.replicate_points(D.derive_points(spark, sf_dir), mult)
-    pages = entry._render_pages(points).persist()
+    # tasks-per-core of the materialized input: on a real cluster input
+    # parallelism comes from file splits (many per core); locally the
+    # render shuffle coalesces to ~core count, leaving zero straggler
+    # slack at 1 task/core. SPARK_GRAFT_TPC mirrors the cluster layout.
+    tpc = int(os.environ.get("SPARK_GRAFT_TPC", "0"))
+    pages = entry._render_pages(points)
+    if tpc:
+        pages = pages.repartition(tpc * int(cores))
+    pages = pages.persist()
     n_trajs = pages.count()
 
     df = match_pages(spark, pages, entry._net(), entry.CFG)

@@ -101,6 +101,39 @@ def simplify_trajs(trajs: DataFrame, cfg: MatchConfig) -> DataFrame:
     return pts.groupBy("url").applyInPandas(op, schema=POINTS_SCHEMA)
 
 
+def extract_arrays(pdf: pd.DataFrame, lon0: float, lat0: float,
+                   tolerance: float, do_simplify: bool):
+    """In-kernel core of extract_simplify, shared with the one-pass
+    matcher: pages batch -> (url, pid, x, y) numpy arrays (url-major,
+    pid-ascending; x/y metric; pid re-densified after Douglas-Peucker).
+    Returns None when the batch yields no points at all."""
+    from ..kernels.projection import project_coords
+    pts = extract_points(pdf)
+    if len(pts) == 0:
+        return None
+    # points arrive grouped (extract sorts by url): slice per page,
+    # assemble one frame at the end (per-group DataFrames are the
+    # measured overhead at millions of pages)
+    xy_all = project_coords(pts[["x", "y"]].to_numpy(), lon0, lat0)
+    u = pts.url.to_numpy()
+    bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+    starts, ends = bounds[:-1], bounds[1:]
+    if do_simplify:
+        # batched Douglas-Peucker: every pending interval of every
+        # trajectory evaluated per round (the per-trajectory
+        # recursion's call overhead was the stage's measured cost)
+        from ..kernels.simplify import simplify_points_batch
+        keepm = simplify_points_batch(xy_all, starts, ends, tolerance)
+    else:
+        keepm = np.ones(len(xy_all), dtype=bool)
+    counts = np.add.reduceat(keepm, starts)
+    keep = np.flatnonzero(keepm)
+    pid = (np.arange(len(keep)) -
+           np.repeat(np.cumsum(counts) - counts, counts)).astype(np.int32)
+    return (np.repeat(u[starts], counts), pid,
+            xy_all[keep, 0], xy_all[keep, 1])
+
+
 def extract_simplify(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
     """pages -> simplified metric points in ONE Arrow stage with NO shuffle:
     a page row carries its whole trajectory (url is the table's primary
@@ -110,34 +143,12 @@ def extract_simplify(pages: DataFrame, cfg: MatchConfig) -> DataFrame:
     do_simplify = cfg.simplify
 
     def op(batches):
-        from ..kernels.projection import project_coords
         for pdf in batches:
-            pts = extract_points(pdf)
-            if len(pts) == 0:
+            ex = extract_arrays(pdf, lon0, lat0, tolerance, do_simplify)
+            if ex is None:
                 continue
-            # points arrive grouped (extract sorts by url): slice per page,
-            # assemble one frame at the end (per-group DataFrames are the
-            # measured overhead at millions of pages)
-            xy_all = project_coords(pts[["x", "y"]].to_numpy(), lon0, lat0)
-            u = pts.url.to_numpy()
-            bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
-            starts, ends = bounds[:-1], bounds[1:]
-            if do_simplify:
-                # batched Douglas-Peucker: every pending interval of every
-                # trajectory evaluated per round (the per-trajectory
-                # recursion's call overhead was the stage's measured cost)
-                from ..kernels.simplify import simplify_points_batch
-                keepm = simplify_points_batch(xy_all, starts, ends, tolerance)
-            else:
-                keepm = np.ones(len(xy_all), dtype=bool)
-            counts = np.add.reduceat(keepm, starts)
-            keep = np.flatnonzero(keepm)
-            pid = (np.arange(len(keep)) -
-                   np.repeat(np.cumsum(counts) - counts, counts)).astype(np.int32)
-            yield pd.DataFrame({
-                "url": np.repeat(u[starts], counts),
-                "pid": pid,
-                "x": xy_all[keep, 0], "y": xy_all[keep, 1]})
+            u, pid, x, y = ex
+            yield pd.DataFrame({"url": u, "pid": pid, "x": x, "y": y})
 
     return pages.select("url", "text").mapInPandas(op, schema=POINTS_SCHEMA)
 

@@ -417,6 +417,371 @@ class SpPayload:
         return None if ep is None else ep
 
 
+def _match_frame(pdf: pd.DataFrame, geom, stats, spd, cfg: MatchConfig,
+                 cut_topk: bool) -> pd.DataFrame:
+    """Score EVERY trajectory of a sorted candidate frame in one set of
+    numpy passes (projection, emission, layer params, pair cross-product,
+    flags, sp gather, dist/dir probs), then run only the genuinely
+    sequential decode + stitch per trajectory over zero-copy slices.
+
+    ``pdf`` must be sorted (url, pid, dist_p2c, eid) with each url's rows
+    complete and contiguous. ``geom``/``stats`` are the broadcast network
+    tuples ((eids_sorted, mat, src, dst, dist, speed) / (dir_stats,
+    node_xy)); ``spd`` the SpPayload. Shared verbatim by the staged fused
+    matcher (fused_match) and the one-pass pages matcher
+    (match_pages_onepass) so the two paths cannot drift.
+
+    Historical note: ran per url originally; at ~50-point trajectories the
+    fixed per-call numpy/pandas overhead was ~12 of ~18 core-ms per group
+    (profiled) — the kernels are identical row-for-row, so the numbers
+    are bitwise unchanged (the parity suite pins this)."""
+    from ..kernels.dir_stats import engine_dir_probs
+    from ..kernels.geodesy import bearing_deg
+    from ..kernels.linear_ref import project_core
+
+    dir_trans = cfg.dir_trans
+    dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
+    gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
+
+    if cut_topk:
+        # url-local path (candidate_join url_local=True skipped the
+        # shuffle + row_number window): apply the identical top-k cut
+        # here. Rows arrive sorted (url, pid, dist_p2c, eid), so
+        # row_number() <= k is exactly rank-within-layer < k.
+        u0 = pdf.url.to_numpy()
+        pp = pdf.pid.to_numpy()
+        head = np.concatenate(
+            [[True], (pp[1:] != pp[:-1]) | (u0[1:] != u0[:-1])])
+        starts = np.flatnonzero(head)
+        lens = np.diff(np.concatenate([starts, [len(pp)]]))
+        rank = np.arange(len(pp)) - np.repeat(starts, lens)
+        keep = rank < cfg.top_k
+        if not keep.all():
+            pdf = pdf.iloc[np.flatnonzero(keep)]
+
+    u = pdf.url.to_numpy()
+    n = len(pdf)
+    bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+    g_start, g_end = bounds[:-1], bounds[1:]
+    ngroups = len(g_start)
+    gid = np.repeat(np.arange(ngroups), g_end - g_start)
+
+    pid = pdf.pid.to_numpy()
+    eid = pdf.eid.to_numpy()
+    x = pdf.x.to_numpy()
+    y = pdf.y.to_numpy()
+    distp = pdf.dist_p2c.to_numpy()
+
+    # per-candidate attrs + cut params re-derived from the broadcast
+    # network (bitwise-identical to the refine stage's project_core)
+    eids_sorted, mat, src_a, dst_a, dist_a, speed_a = geom
+    di = np.searchsorted(eids_sorted, eid)
+    pr = project_core(np.stack([x, y], axis=1), mat[di])
+    len0, len1 = pr["len0"], pr["len1"]
+    segi, rat = pr["seg_idx"], pr["ratio"]
+    src, dst = src_a[di], dst_a[di]
+    dist, speed = dist_a[di], speed_a[di]
+
+    # emission recomputed with the shared numpy kernel (the JVM
+    # exp/sqrt differ in the last ulp — every float entering the
+    # decode must come from one library); per-group max via reduceat
+    # divides by the exact same scalar the per-group code used
+    dens = hmm.gaussian_emission(distp, gps_sigma, gps_bias)
+    gmax = np.maximum.reduceat(dens, g_start)
+    obs = hmm.observ_prob_from_density(dens, gmax[gid])
+
+    # ---- layers: first row of each (url, pid) run ----
+    newlayer = np.concatenate(
+        [[True], (pid[1:] != pid[:-1]) | (u[1:] != u[:-1])])
+    lay_row = np.flatnonzero(newlayer)          # head row of each layer
+    lay_gid = gid[lay_row]
+    lay_pid = pid[lay_row]
+    lay_end = np.concatenate([lay_row[1:], [n]])
+
+    # consecutive-layer params within each group
+    # (candidatesGraph.py:14-56 semantics — layer_params' exact ops)
+    p0 = np.flatnonzero(lay_gid[1:] == lay_gid[:-1])
+    dx = x[lay_row[p0 + 1]] - x[lay_row[p0]]
+    dy = y[lay_row[p0 + 1]] - y[lay_row[p0]]
+    d_euc_l = np.sqrt(dx * dx + dy * dy)
+    move_dir_l = np.atleast_1d(bearing_deg(
+        x[lay_row[p0]], y[lay_row[p0]], x[lay_row[p0 + 1]], y[lay_row[p0 + 1]]))
+
+    # ---- pair cross-product over all layer pairs of all groups ----
+    # row j of pair-layer k -> (left = start + j // nr, right = start1
+    # + j % nr): identical enumeration order to the per-group code
+    nl = (lay_end - lay_row)[p0]
+    nr = (lay_end - lay_row)[p0 + 1]
+    tot = nl * nr
+    K = np.repeat(np.arange(len(p0), dtype=np.int64), tot)
+    off = np.cumsum(tot) - tot                  # exclusive prefix
+    j = np.arange(int(tot.sum()), dtype=np.int64) - off[K]
+    L = lay_row[p0][K] + j // nr[K]
+    R = lay_row[p0 + 1][K] + j % nr[K]
+
+    e0, e1 = eid[L], eid[R]
+    dist_0 = dist[L]
+    step_0_len = len1[L]
+    left_len0 = len0[L]
+    step_n_len = len0[R]
+
+    # ---- flags (candidatesGraph.py:58-114) ----
+    offset_0 = dist_0 - step_0_len
+    cond_1 = offset_0 <= step_n_len
+    relaxed = np.minimum(np.maximum(0.0, offset_0 - dist_eps),
+                         offset_0 * (1.0 - ratio_eps))
+    cond = relaxed <= step_n_len
+    approx = cond & (~cond_1)
+    step_n_len = np.where(approx, left_len0, step_n_len)
+    same = e0 == e1
+    flag = np.where(same & cond, hmm.FLAG_SAME_SRC_FIRST,
+                    np.where(same & (~cond), hmm.FLAG_SAME_SRC_LAST,
+                             hmm.FLAG_NORMAL)).astype(np.int32)
+    flag1 = flag == hmm.FLAG_SAME_SRC_FIRST
+    o_node = np.where(flag1, src[R], dst[L])
+    d_node = np.where(flag1, dst[L], src[R])
+
+    # ---- sp attach: one vectorized binary-search gather ----
+    pos, hit = spd.locate(o_node, d_node)
+    cost = np.where(hit, spd.cost[pos], np.inf)
+    path_speed = np.where(hit, spd.path_speed[pos], 0.0)
+    pcx = np.where(hit, spd.pcx[pos], 0.0)
+    pcy = np.where(hit, spd.pcy[pos], 0.0)
+    pw = np.where(hit, spd.pw[pos], 0.0)
+    pn_path = np.where(hit, spd.pn[pos], 0)
+    has_path = hit & spd.has_path[pos]
+    d_euc = d_euc_l[K]
+    move_dir = move_dir_l[K]
+
+    avg_speed, d_sht, dist_prob, _ = hmm.score_base_np(
+        cost, step_0_len, step_n_len, speed[L], speed[R], path_speed,
+        flag, dist_0, d_euc)
+    if dir_trans:
+        dstats, (nids, nxy) = stats
+        dir_prob = engine_dir_probs(
+            dstats, e0, segi[L].astype(np.int64), rat[L],
+            e1, segi[R].astype(np.int64), rat[R],
+            approx, flag1, has_path, pcx, pcy, pw, pn_path, move_dir,
+            o_xy=nxy[np.searchsorted(nids, o_node)],
+            d_xy=nxy[np.searchsorted(nids, d_node)])
+        trans_prob = dist_prob * dir_prob
+    else:
+        trans_prob = dist_prob
+
+    gt_cols = {"pid_0": lay_pid[p0][K], "eid_0": e0, "eid_1": e1,
+               "flag": flag, "observ_prob": obs[R],
+               "trans_prob": trans_prob, "dist_prob": dist_prob,
+               "d_sht": d_sht, "avg_speed": avg_speed,
+               "o_node": o_node, "d_node": d_node}
+    cand_cols = {"pid": pid, "eid": eid, "dist_p2c": distp,
+                 "observ_prob": obs, "len0": len0, "len1": len1}
+    pair_gid = lay_gid[p0][K]
+    # multi-layer groups in batch order + their pair-table spans
+    multi = np.unique(pair_gid)
+    plo = np.searchsorted(pair_gid, multi, side="left")
+    phi = np.searchsorted(pair_gid, multi, side="right")
+    pair_span = {int(g): (int(a), int(b)) for g, a, b in zip(multi, plo, phi)}
+
+    decoded = {}
+    if cfg.beam_search and len(multi):
+        # lockstep beam decode across every multi-layer trajectory
+        pl_gid_d = np.searchsorted(multi, lay_gid[p0])
+        n_steps = np.searchsorted(pl_gid_d, np.arange(len(multi)),
+                                  side="right") \
+            - np.searchsorted(pl_gid_d, np.arange(len(multi)))
+        m_mask = np.zeros(ngroups, dtype=bool)
+        m_mask[multi] = True
+        l0m = (pid == 0) & m_mask[gid]
+        l0_e = eid[l0m]
+        l0_p = obs[l0m]
+        l0_off = np.concatenate([[0], np.cumsum(np.bincount(
+            np.searchsorted(multi, gid[l0m]), minlength=len(multi)))])
+        dec = hmm.viterbi_beam_lockstep(
+            pl_gid_d, off, tot, e0, e1,
+            trans_prob * obs[R], l0_e, l0_p, l0_off, n_steps, cfg)
+        lay_lo = np.searchsorted(lay_gid, multi)
+        for gi, (end_prob, ridx, reid) in enumerate(dec):
+            g = int(multi[gi])
+            pids = lay_pid[lay_lo[gi] + ridx]
+            decoded[g] = (end_prob,
+                          hmm.ColFrame({"pid": pids, "eid": reid}))
+
+    # ---- per-trajectory decode (classic) / stitch over slices ----
+    rows = []
+    for g in range(ngroups):
+        s, e = int(g_start[g]), int(g_end[g])
+        base = {"url": u[s], "status": hmm.STATUS_NO_CANDIDATES,
+                "epath": None, "step_0": np.nan, "step_n": np.nan,
+                "dist": np.nan, "avg_speed": np.nan, "prob": np.nan,
+                "norm_prob": np.nan, "dist_prob": np.nan,
+                "trans_prob": np.nan, "dir_prob": np.nan}
+        if g not in pair_span:
+            # single candidate layer -> nearest edge (rows are sorted
+            # (dist_p2c, eid) within the layer)
+            base.update(status=hmm.STATUS_ONE_POINT, epath=[int(eid[s])])
+            rows.append(base)
+            continue
+        ps, pe = pair_span[g]
+        cands_g = hmm.ColFrame({k: v[s:e] for k, v in cand_cols.items()})
+        gt_g = hmm.ColFrame({k: v[ps:pe] for k, v in gt_cols.items()})
+        if g in decoded:
+            end_prob, rlist = decoded[g]
+        else:
+            end_prob, rlist = hmm.decode_sequence(cands_g, gt_g, cfg)
+        res = hmm.stitch_path(rlist, gt_g, cands_g, end_prob, cfg,
+                              dir_trans, epath_lookup=spd.epath_of)
+        base.update(res)
+        rows.append(base)
+    return pd.DataFrame(rows)
+
+
+def _sp_payload_for(spark: SparkSession, net: Network,
+                    cfg: MatchConfig) -> "SpPayload":
+    """All-pairs shortest-path payload for a small network, memoized ON
+    the network: the demand superset depends only on the network, so
+    repeated match calls (the repair loop, benchmark iterations, repeated
+    jobs against one network) skip the whole sp pipeline — the way the
+    reference memoizes its route searches (geograph.py:223 route memo)."""
+    key = float(cfg.max_dist)  # the only cfg input to the sp build
+    cache = getattr(net, "_sp_payload_cache", None)
+    if cache is None:
+        cache = net._sp_payload_cache = {}
+    payload = cache.get(key)
+    if payload is None:
+        nids, _ = net.node_xy_arrays()
+        nd = spark.createDataFrame(pd.DataFrame({"n": nids}))
+        demands = (nd.select(F.col("n").alias("o_node"))
+                   .crossJoin(nd.select(F.col("n").alias("d_node"))))
+        payload = SpPayload(
+            shortest_path_table(spark, demands, net, cfg).toPandas())
+        cache[key] = payload
+    return payload
+
+
+def match_pages_onepass(spark: SparkSession, pages: DataFrame, net: Network,
+                        cfg: MatchConfig) -> DataFrame:
+    """The whole matcher as ONE narrow Arrow stage with a SINGLE
+    JVM<->Python crossing: pages go in, one matched row per page comes
+    out. Per batch, in numpy: GEO-line extraction + projection +
+    Douglas-Peucker (extract_arrays) -> cell probe of the broadcast
+    radius-dilated index (searchsorted twin of candidate_join's broadcast
+    equi-join) -> exact linear-referencing refine + radius filter ->
+    (dist_p2c, eid) sort + top-k -> scoring + Viterbi + stitch
+    (_match_frame, the exact frame the staged path runs).
+
+    Why: the staged pages path crosses the Arrow boundary three times
+    (extract out, refine in/out, match in), with the WIDE candidate table
+    crossing twice — measured as the dominant memory-bandwidth load of
+    the matcher after the url shuffle was removed (BENCH/profile_leg,
+    kernel_probe: the bare kernels scale near-ideally; the crossings pay
+    the bandwidth). Here the candidate table never leaves Python, url
+    strings never need dictionary-encoding (nothing wide crosses a
+    boundary), and a page with zero extractable points or zero in-radius
+    candidates yields its status-3 row directly in-kernel — no anti-join,
+    no persist, no JVM work between source scan and result.
+
+    At 1000 executors this is the ideal plan: a single embarrassingly
+    parallel map over pages with all network state broadcast once.
+    Requires the memoized-sp small-network regime and a broadcastable
+    index; match_pages falls back to the staged path otherwise.
+
+    The index is built radius-dilated in-function (pad >= cfg.radius by
+    construction — the staged path's in-band pad guard is satisfied
+    structurally)."""
+    from ..kernels.cells import xy_to_cell
+    stats_bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
+    geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
+    sp_bc = spark.sparkContext.broadcast(_sp_payload_for(spark, net, cfg))
+    ci = (net.cell_index(pad=max(net.cfg.radius, cfg.radius))
+          .sort_values(["cell", "eid"], kind="stable"))
+    idx_bc = spark.sparkContext.broadcast(
+        (ci.cell.to_numpy(), ci.eid.to_numpy()))
+    cell_size, radius = cfg.cell_size, cfg.radius
+    lon0, lat0, tol, do_simpl = cfg.lon0, cfg.lat0, cfg.tolerance, cfg.simplify
+
+    def op(batches):
+        from ..kernels.linear_ref import project_core
+        from .candidates import extract_arrays
+        cells_s, cell_eids = idx_bc.value
+        geom = geom_bc.value
+        eids_sorted, mat = geom[0], geom[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            page_urls = pdf.url.to_numpy()
+            frames = []
+            ex = extract_arrays(pdf, lon0, lat0, tol, do_simpl)
+            have = set()
+            if ex is not None:
+                u, pid, x, y = ex
+                # url strings never enter the kernel: points carry a
+                # batch-local integer gid (the in-kernel twin of the
+                # staged path's url dictionary-encoding) and the output
+                # maps gid -> url once per batch
+                uheads = np.flatnonzero(
+                    np.concatenate([[True], u[1:] != u[:-1]]))
+                urls_by_gid = u[uheads]
+                pgid = np.cumsum(np.concatenate(
+                    [[0], (u[1:] != u[:-1]).astype(np.int64)]))
+                ck = xy_to_cell(x, y, cell_size)
+                lo = np.searchsorted(cells_s, ck, side="left")
+                cnt = np.searchsorted(cells_s, ck, side="right") - lo
+                # expand each point over its cell's eid run
+                P = np.repeat(np.arange(len(u)), cnt)
+                E = cell_eids[np.arange(int(cnt.sum())) -
+                              np.repeat(np.cumsum(cnt) - cnt, cnt) +
+                              np.repeat(lo, cnt)]
+                pr = project_core(np.stack([x[P], y[P]], axis=1),
+                                  mat[np.searchsorted(eids_sorted, E)])
+                keep = pr["dist"] <= radius
+                P, E, dp = P[keep], E[keep], pr["dist"][keep]
+                if len(P):
+                    # (url, pid) grouping == point ordinal P; within a
+                    # layer the (dist_p2c, eid) order the decode requires
+                    o = np.lexsort((E, dp, P))
+                    P, E, dp = P[o], E[o], dp[o]
+                    gid = pgid[P]
+                    pdf2 = pd.DataFrame({
+                        "url": gid, "pid": pid[P], "x": x[P], "y": y[P],
+                        "eid": E, "dist_p2c": dp})
+                    # score/decode in url-aligned chunks of bounded
+                    # candidate rows: the frame kernel's pair-table
+                    # temporaries (score + dir-prob passes) must stay
+                    # cache-resident — one giant call measured 3-4x the
+                    # per-url cost of ~1e5-row chunks (superlinear in
+                    # working-set, not in work)
+                    gheads = np.flatnonzero(
+                        np.concatenate([[True], gid[1:] != gid[:-1]]))
+                    have = set(urls_by_gid[gid[gheads]])
+                    budget = 100_000
+                    cut_pos = np.concatenate([gheads, [len(gid)]])
+                    c0 = 0
+                    while c0 < len(gheads):
+                        c1 = int(np.searchsorted(
+                            cut_pos, cut_pos[c0] + budget, side="left"))
+                        c1 = max(c1, c0 + 1)
+                        sl = pdf2.iloc[cut_pos[c0]:cut_pos[min(c1, len(gheads))]]
+                        out = _match_frame(
+                            sl, geom, stats_bc.value, sp_bc.value, cfg,
+                            cut_topk=True)
+                        out["url"] = urls_by_gid[out.url.to_numpy()]
+                        frames.append(out)
+                        c0 = c1
+            miss = [pu for pu in page_urls if pu not in have]
+            if len(miss):
+                frames.append(pd.DataFrame([
+                    {"url": mu, "status": hmm.STATUS_NO_CANDIDATES,
+                     "epath": None, "step_0": np.nan, "step_n": np.nan,
+                     "dist": np.nan, "avg_speed": np.nan, "prob": np.nan,
+                     "norm_prob": np.nan, "dist_prob": np.nan,
+                     "trans_prob": np.nan, "dir_prob": np.nan}
+                    for mu in miss]))
+            yield pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+                else frames[0]
+
+    return pages.select("url", "text").mapInPandas(op, schema=MATCHED_SCHEMA)
+
+
 def fused_match(spark: SparkSession, cands: DataFrame,
                 sp: DataFrame, net: Network, cfg: MatchConfig,
                 cut_topk: bool = False) -> DataFrame:
@@ -441,216 +806,10 @@ def fused_match(spark: SparkSession, cands: DataFrame,
     geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
     sp_bc = spark.sparkContext.broadcast(
         sp if isinstance(sp, SpPayload) else SpPayload(sp.toPandas()))
-    dir_trans = cfg.dir_trans
-    dist_eps, ratio_eps = cfg.flag_dist_eps, cfg.flag_ratio_eps
-    gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
 
     def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Score EVERY trajectory in the Arrow batch in one set of numpy
-        passes (projection, emission, layer params, pair cross-product,
-        flags, sp gather, dist/dir probs), then run only the genuinely
-        sequential decode + stitch per trajectory over zero-copy slices.
-
-        The previous shape ran the whole chain per url; at ~50-point
-        trajectories the fixed per-call numpy/pandas overhead was ~12 of
-        ~18 core-ms per group (profiled) — the kernels themselves are
-        identical, row-for-row, so the numbers are bitwise unchanged (the
-        parity suite pins this)."""
-        from ..kernels.dir_stats import engine_dir_probs
-        from ..kernels.geodesy import bearing_deg
-        from ..kernels.linear_ref import project_core
-
-        if cut_topk:
-            # url-local path (candidate_join url_local=True skipped the
-            # shuffle + row_number window): apply the identical top-k cut
-            # here. Rows arrive sorted (url, pid, dist_p2c, eid), so
-            # row_number() <= k is exactly rank-within-layer < k.
-            u0 = pdf.url.to_numpy()
-            pp = pdf.pid.to_numpy()
-            head = np.concatenate(
-                [[True], (pp[1:] != pp[:-1]) | (u0[1:] != u0[:-1])])
-            starts = np.flatnonzero(head)
-            lens = np.diff(np.concatenate([starts, [len(pp)]]))
-            rank = np.arange(len(pp)) - np.repeat(starts, lens)
-            keep = rank < cfg.top_k
-            if not keep.all():
-                pdf = pdf.iloc[np.flatnonzero(keep)]
-
-        u = pdf.url.to_numpy()
-        n = len(pdf)
-        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
-        g_start, g_end = bounds[:-1], bounds[1:]
-        ngroups = len(g_start)
-        gid = np.repeat(np.arange(ngroups), g_end - g_start)
-
-        pid = pdf.pid.to_numpy()
-        eid = pdf.eid.to_numpy()
-        x = pdf.x.to_numpy()
-        y = pdf.y.to_numpy()
-        distp = pdf.dist_p2c.to_numpy()
-
-        # per-candidate attrs + cut params re-derived from the broadcast
-        # network (bitwise-identical to the refine stage's project_core)
-        eids_sorted, mat, src_a, dst_a, dist_a, speed_a = geom_bc.value
-        di = np.searchsorted(eids_sorted, eid)
-        pr = project_core(np.stack([x, y], axis=1), mat[di])
-        len0, len1 = pr["len0"], pr["len1"]
-        segi, rat = pr["seg_idx"], pr["ratio"]
-        src, dst = src_a[di], dst_a[di]
-        dist, speed = dist_a[di], speed_a[di]
-
-        # emission recomputed with the shared numpy kernel (the JVM
-        # exp/sqrt differ in the last ulp — every float entering the
-        # decode must come from one library); per-group max via reduceat
-        # divides by the exact same scalar the per-group code used
-        dens = hmm.gaussian_emission(distp, gps_sigma, gps_bias)
-        gmax = np.maximum.reduceat(dens, g_start)
-        obs = hmm.observ_prob_from_density(dens, gmax[gid])
-
-        # ---- layers: first row of each (url, pid) run ----
-        newlayer = np.concatenate(
-            [[True], (pid[1:] != pid[:-1]) | (u[1:] != u[:-1])])
-        lay_row = np.flatnonzero(newlayer)          # head row of each layer
-        lay_gid = gid[lay_row]
-        lay_pid = pid[lay_row]
-        lay_end = np.concatenate([lay_row[1:], [n]])
-
-        # consecutive-layer params within each group
-        # (candidatesGraph.py:14-56 semantics — layer_params' exact ops)
-        p0 = np.flatnonzero(lay_gid[1:] == lay_gid[:-1])
-        dx = x[lay_row[p0 + 1]] - x[lay_row[p0]]
-        dy = y[lay_row[p0 + 1]] - y[lay_row[p0]]
-        d_euc_l = np.sqrt(dx * dx + dy * dy)
-        move_dir_l = np.atleast_1d(bearing_deg(
-            x[lay_row[p0]], y[lay_row[p0]], x[lay_row[p0 + 1]], y[lay_row[p0 + 1]]))
-
-        # ---- pair cross-product over all layer pairs of all groups ----
-        # row j of pair-layer k -> (left = start + j // nr, right = start1
-        # + j % nr): identical enumeration order to the per-group code
-        nl = (lay_end - lay_row)[p0]
-        nr = (lay_end - lay_row)[p0 + 1]
-        tot = nl * nr
-        K = np.repeat(np.arange(len(p0), dtype=np.int64), tot)
-        off = np.cumsum(tot) - tot                  # exclusive prefix
-        j = np.arange(int(tot.sum()), dtype=np.int64) - off[K]
-        L = lay_row[p0][K] + j // nr[K]
-        R = lay_row[p0 + 1][K] + j % nr[K]
-
-        e0, e1 = eid[L], eid[R]
-        dist_0 = dist[L]
-        step_0_len = len1[L]
-        left_len0 = len0[L]
-        step_n_len = len0[R]
-
-        # ---- flags (candidatesGraph.py:58-114) ----
-        offset_0 = dist_0 - step_0_len
-        cond_1 = offset_0 <= step_n_len
-        relaxed = np.minimum(np.maximum(0.0, offset_0 - dist_eps),
-                             offset_0 * (1.0 - ratio_eps))
-        cond = relaxed <= step_n_len
-        approx = cond & (~cond_1)
-        step_n_len = np.where(approx, left_len0, step_n_len)
-        same = e0 == e1
-        flag = np.where(same & cond, hmm.FLAG_SAME_SRC_FIRST,
-                        np.where(same & (~cond), hmm.FLAG_SAME_SRC_LAST,
-                                 hmm.FLAG_NORMAL)).astype(np.int32)
-        flag1 = flag == hmm.FLAG_SAME_SRC_FIRST
-        o_node = np.where(flag1, src[R], dst[L])
-        d_node = np.where(flag1, dst[L], src[R])
-
-        # ---- sp attach: one vectorized binary-search gather ----
-        spd = sp_bc.value
-        pos, hit = spd.locate(o_node, d_node)
-        cost = np.where(hit, spd.cost[pos], np.inf)
-        path_speed = np.where(hit, spd.path_speed[pos], 0.0)
-        pcx = np.where(hit, spd.pcx[pos], 0.0)
-        pcy = np.where(hit, spd.pcy[pos], 0.0)
-        pw = np.where(hit, spd.pw[pos], 0.0)
-        pn_path = np.where(hit, spd.pn[pos], 0)
-        has_path = hit & spd.has_path[pos]
-        d_euc = d_euc_l[K]
-        move_dir = move_dir_l[K]
-
-        avg_speed, d_sht, dist_prob, _ = hmm.score_base_np(
-            cost, step_0_len, step_n_len, speed[L], speed[R], path_speed,
-            flag, dist_0, d_euc)
-        if dir_trans:
-            stats, (nids, nxy) = stats_bc.value
-            dir_prob = engine_dir_probs(
-                stats, e0, segi[L].astype(np.int64), rat[L],
-                e1, segi[R].astype(np.int64), rat[R],
-                approx, flag1, has_path, pcx, pcy, pw, pn_path, move_dir,
-                o_xy=nxy[np.searchsorted(nids, o_node)],
-                d_xy=nxy[np.searchsorted(nids, d_node)])
-            trans_prob = dist_prob * dir_prob
-        else:
-            trans_prob = dist_prob
-
-        gt_cols = {"pid_0": lay_pid[p0][K], "eid_0": e0, "eid_1": e1,
-                   "flag": flag, "observ_prob": obs[R],
-                   "trans_prob": trans_prob, "dist_prob": dist_prob,
-                   "d_sht": d_sht, "avg_speed": avg_speed,
-                   "o_node": o_node, "d_node": d_node}
-        cand_cols = {"pid": pid, "eid": eid, "dist_p2c": distp,
-                     "observ_prob": obs, "len0": len0, "len1": len1}
-        pair_gid = lay_gid[p0][K]
-        # multi-layer groups in batch order + their pair-table spans
-        multi = np.unique(pair_gid)
-        plo = np.searchsorted(pair_gid, multi, side="left")
-        phi = np.searchsorted(pair_gid, multi, side="right")
-        pair_span = {int(g): (int(a), int(b)) for g, a, b in zip(multi, plo, phi)}
-
-        decoded = {}
-        if cfg.beam_search and len(multi):
-            # lockstep beam decode across every multi-layer trajectory
-            pl_gid_d = np.searchsorted(multi, lay_gid[p0])
-            n_steps = np.searchsorted(pl_gid_d, np.arange(len(multi)),
-                                      side="right") \
-                - np.searchsorted(pl_gid_d, np.arange(len(multi)))
-            m_mask = np.zeros(ngroups, dtype=bool)
-            m_mask[multi] = True
-            l0m = (pid == 0) & m_mask[gid]
-            l0_e = eid[l0m]
-            l0_p = obs[l0m]
-            l0_off = np.concatenate([[0], np.cumsum(np.bincount(
-                np.searchsorted(multi, gid[l0m]), minlength=len(multi)))])
-            dec = hmm.viterbi_beam_lockstep(
-                pl_gid_d, off, tot, e0, e1,
-                trans_prob * obs[R], l0_e, l0_p, l0_off, n_steps, cfg)
-            lay_lo = np.searchsorted(lay_gid, multi)
-            for gi, (end_prob, ridx, reid) in enumerate(dec):
-                g = int(multi[gi])
-                pids = lay_pid[lay_lo[gi] + ridx]
-                decoded[g] = (end_prob,
-                              hmm.ColFrame({"pid": pids, "eid": reid}))
-
-        # ---- per-trajectory decode (classic) / stitch over slices ----
-        rows = []
-        for g in range(ngroups):
-            s, e = int(g_start[g]), int(g_end[g])
-            base = {"url": u[s], "status": hmm.STATUS_NO_CANDIDATES,
-                    "epath": None, "step_0": np.nan, "step_n": np.nan,
-                    "dist": np.nan, "avg_speed": np.nan, "prob": np.nan,
-                    "norm_prob": np.nan, "dist_prob": np.nan,
-                    "trans_prob": np.nan, "dir_prob": np.nan}
-            if g not in pair_span:
-                # single candidate layer -> nearest edge (rows are sorted
-                # (dist_p2c, eid) within the layer)
-                base.update(status=hmm.STATUS_ONE_POINT, epath=[int(eid[s])])
-                rows.append(base)
-                continue
-            ps, pe = pair_span[g]
-            cands_g = hmm.ColFrame({k: v[s:e] for k, v in cand_cols.items()})
-            gt_g = hmm.ColFrame({k: v[ps:pe] for k, v in gt_cols.items()})
-            if g in decoded:
-                end_prob, rlist = decoded[g]
-            else:
-                end_prob, rlist = hmm.decode_sequence(cands_g, gt_g, cfg)
-            res = hmm.stitch_path(rlist, gt_g, cands_g, end_prob, cfg,
-                                  dir_trans, epath_lookup=spd.epath_of)
-            base.update(res)
-            rows.append(base)
-        return pd.DataFrame(rows)
+        return _match_frame(pdf, geom_bc.value, stats_bc.value,
+                            sp_bc.value, cfg, cut_topk)
 
     def op(batches):
         """Streamed group-by within the url-hash partition: batches are
@@ -700,14 +859,24 @@ def match_pages(spark: SparkSession, pages: DataFrame, net: Network,
     out-of-bbox, status 3) are re-attached via a left-anti join — the
     engine's non-throwing version of the reference's bbox assert
     (matching.py:155-168)."""
+    if fused and broadcast_index:
+        nids, _ = net.node_xy_arrays()
+        if len(nids) ** 2 <= min(4_000_000, cfg.sp_broadcast_max_rows):
+            # memoized-sp regime: the whole matcher is one narrow Arrow
+            # stage over pages — single JVM<->Python crossing, no shuffle,
+            # no persist (see match_pages_onepass). The result is lazily
+            # persisted: every caller runs >= 1 action on it and several
+            # derive follow-up frames (path geometry, metrics).
+            return match_pages_onepass(spark, pages, net, cfg).persist()
     points = extract_simplify(pages, cfg)
-    # pages are one row per url, so extraction leaves every url's points
-    # inside one partition — the matcher may drop its url shuffle — and
-    # the pages url column IS the url universe (Catalyst prunes the
-    # render/text columns out of this scan), so the matcher can also skip
-    # its points persist + distinct. Consequence: a page whose text yields
-    # ZERO extractable points still gets a status-3 output row — every
-    # input page produces exactly one output row.
+    # staged fallback (big networks / relational paths): pages are one row
+    # per url, so extraction leaves every url's points inside one
+    # partition — the matcher may drop its url shuffle — and the pages
+    # url column IS the url universe (Catalyst prunes the render/text
+    # columns out of this scan), so the matcher can also skip its points
+    # persist + distinct. Consequence (both paths): a page whose text
+    # yields ZERO extractable points still gets a status-3 output row —
+    # every input page produces exactly one output row.
     return match_points(spark, points, net, cfg, broadcast_index, fused,
                         url_local=True, urls=pages.select("url"))
 
@@ -800,25 +969,9 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
 
     if fused:
         if small_net:
-            # small network: the all-pairs demand superset depends only on
-            # the NETWORK, so the payload is memoized on it — repeated
-            # match calls (the repair loop, benchmark iterations, repeated
-            # jobs against one network) skip the whole sp pipeline, the
-            # way the reference memoizes its route searches
-            # (geograph.py:223 route memo). The n^2 bound also makes the
-            # broadcast-size count job redundant.
-            key = float(cfg.max_dist)  # the only cfg input to the sp build
-            cache = getattr(net, "_sp_payload_cache", None)
-            if cache is None:
-                cache = net._sp_payload_cache = {}
-            payload = cache.get(key)
-            if payload is None:
-                nd = spark.createDataFrame(pd.DataFrame({"n": nids}))
-                demands = (nd.select(F.col("n").alias("o_node"))
-                           .crossJoin(nd.select(F.col("n").alias("d_node"))))
-                payload = SpPayload(
-                    shortest_path_table(spark, demands, net, cfg).toPandas())
-                cache[key] = payload
+            # the n^2 bound makes the broadcast-size count job redundant;
+            # the payload is memoized on the network (_sp_payload_for)
+            payload = _sp_payload_for(spark, net, cfg)
             matched = fused_match(spark, cands, payload, net, cfg,
                                   cut_topk=local_fast)
             if local_fast:
