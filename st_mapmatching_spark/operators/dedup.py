@@ -309,10 +309,15 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             if nz.any():
                 blob, tstarts, tends = _string_blob(tokens)
                 hs = _fnv1a64_blob(blob, tstarts, tends)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int32)
+                # bit matrix via unpackbits over the hashes' own bytes
+                # (little-endian: byte k column-block k holds bits
+                # 8k..8k+7) — ~10x the shift-broadcast expansion it
+                # replaces (measured 1.77 s -> this path at 5k docs)
+                bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                                     axis=1, bitorder="little")
                 doc_starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
-                sums = np.add.reduceat(bits, doc_starts, axis=0)
+                sums = np.add.reduceat(bits, doc_starts, axis=0,
+                                       dtype=np.int64)
                 v = (sums * 2 >= counts[nz, None]).astype(np.uint64)
                 out[nz] = (v << np.arange(64, dtype=np.uint64)).sum(axis=1,
                                                                     dtype=np.uint64)
@@ -379,8 +384,14 @@ def _fnv1a64(s: str) -> int:
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (a pair within hamming<=3 shares at least one of 4 chunks exactly)."""
-    sh = simhash64(docs, id_col, text_col)
+    (a pair within hamming<=3 shares at least one of 4 chunks exactly).
+
+    The (id, simhash) frame is persisted before the self-join: without it
+    the physical plan carries TWO MapInArrow nodes — the full corpus text
+    scan + hash runs once per join side (verified on the executed plan).
+    16 bytes/row of storage buys back an entire corpus re-hash, the same
+    trade the MinHash path makes with its signature table."""
+    sh = simhash64(docs, id_col, text_col).persist()
     chunks = sh.select(F.col(id_col).alias("id"), "simhash",
                        F.explode(F.array(*[
                            F.struct(F.lit(c).alias("c"),
