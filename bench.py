@@ -119,7 +119,15 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     t_match = time.perf_counter() - t0
     df.unpersist()
 
-    pts = points.select("url", "pid", "x", "y").persist()
+    # The tiles job is ~15x faster per point than the matcher, so at a
+    # mult where the match legs are minutes the tiles legs are seconds —
+    # and the pair then measures fixed per-job latency (F ~= 3.6 s vs
+    # W ~= 9 s at x64: eff capped at 0.43 regardless of engine). Scale the
+    # tiles input independently so BOTH north-rule throughputs amortize F
+    # comparably (t = W/N + F; x16 extra -> predicted eff ~0.88).
+    tiles_mult = int(os.environ.get("SPARK_GRAFT_TILES_MULT", "1"))
+    tpoints = D.replicate_points(points, tiles_mult) if tiles_mult > 1 else points
+    pts = tpoints.select("url", "pid", "x", "y").persist()
     n_pts = pts.count()
     rows = []
     for ty in range(4):
