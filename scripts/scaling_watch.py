@@ -171,6 +171,12 @@ def main() -> int:
     engine = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                             capture_output=True, text=True,
                             cwd=REPO).stdout.strip()
+    # WATCH_ENGINE_POOL: extra commits whose match hot path is identical
+    # to HEAD (doc/bench-only commits in between) — their pairs stay
+    # poolable across a watcher relaunch. New pairs are still tagged with
+    # the actual HEAD.
+    pool_tags = set(filter(None, os.environ.get(
+        "WATCH_ENGINE_POOL", "").split(","))) | {engine}
     # seed from prior pair_done records so restarts keep the pool
     if os.path.exists(LOG):
         for line in open(LOG):
@@ -178,7 +184,7 @@ def main() -> int:
                 r = json.loads(line)
             except ValueError:
                 continue
-            if r.get("event") == "pair_done" and r.get("engine") == engine:
+            if r.get("event") == "pair_done" and r.get("engine") in pool_tags:
                 pairs.append(r)
     write_summary(pairs)
     in_band_at_mult = any(TARGET <= p["eff_match"] <= BAND_HI
