@@ -604,6 +604,18 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_pairs(_docs(spark, sf), max_hamming=3)
 
 
+def q_dedup_cluster(spark, sf):
+    """Near-dup CLUSTERS: connected components over the simhash pair
+    graph via alternating large-star/small-star rounds (Kiveris et al.
+    SoCC'14 — O(log^2 n) shuffle rounds, diameter-independent). Output
+    (id, component = smallest reachable id); the oracle reaches the same
+    fixpoint as a recursive-CTE transitive closure + MIN."""
+    from st_mapmatching_spark.operators.dedup import (connected_components,
+                                                      simhash_near_pairs)
+    pairs = simhash_near_pairs(_docs(spark, sf), max_hamming=3)
+    return connected_components(pairs)
+
+
 def q_sim_lsh(spark, sf):
     """Banded sign-LSH top-k in strict-parity mode: deterministic
     Rademacher planes + sequential-fold projections, so the DuckDB oracle
@@ -871,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_sp_table": q_geo_sp_table,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_cluster": q_dedup_cluster,
         "sim_lsh": q_sim_lsh,
         "sim_ivf": q_sim_ivf,
         "eval_lcss": q_eval_lcss,
@@ -896,6 +909,50 @@ def _stop_score(lang):
     return (f"len(list_filter(string_split({_NORM}, ' '), "
             f"x -> list_contains({_STOP[lang]}, x))) "
             f"/ greatest(len(string_split({_NORM}, ' ')), 1)")
+
+
+# SimHash pair twin, shared by the dedup_simhash gate and as the inner
+# pair-generator of the dedup_cluster closure (nested WITH: DuckDB allows a
+# full WITH...SELECT inside a parenthesized CTE body)
+_SIMHASH_PAIRS_SQL = r"""
+            WITH tok AS (
+              SELECT doc_id, t.tok
+              FROM documents, unnest(list_filter(
+                string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t(tok)
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                                    list_transform(string_split(tok, ''),
+                                                   c -> CAST(ord(c) AS HUGEINT))),
+                       (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                                  * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+                     ) AS UBIGINT) AS fnv
+              FROM tok
+            ),
+            bits AS (
+              SELECT doc_id, i.i AS i,
+                     SUM(CAST((fnv >> CAST(i.i AS INT)) & 1 AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM h, (SELECT unnest(range(64)) AS i) i
+              GROUP BY doc_id, i.i
+            ),
+            sig AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN 2*s >= n THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+                              ELSE 0 END) AS us
+              FROM bits GROUP BY doc_id
+            ),
+            sh AS (
+              -- keep the unsigned form for the xor (a negative BIGINT
+              -- cannot CAST to UBIGINT in DuckDB — range-checked)
+              SELECT doc_id, CAST(us AS UBIGINT) AS uh FROM sig
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.uh, b.uh)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.uh, b.uh)) <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1503,45 +1560,26 @@ def oracle_sql() -> dict[str, str]:
         # then brute-force hamming<=3 pairs — the engine's 16-bit-chunk
         # blocking is exact for hamming<=3 (pigeonhole), so the oracle's
         # all-pairs scan returns the identical pair set
-        "dedup_simhash": r"""
-            WITH tok AS (
-              SELECT doc_id, t.tok
-              FROM documents, unnest(list_filter(
-                string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t(tok)
+        "dedup_simhash": _SIMHASH_PAIRS_SQL,
+
+        # connected components over the simhash pair graph: the engine runs
+        # alternating large-star/small-star rounds (O(log^2 n) shuffles,
+        # diameter-independent); the oracle computes the same fixpoint as a
+        # recursive-CTE transitive closure + min — identical (id, component)
+        # labels even though the algorithms share nothing
+        "dedup_cluster": (
+            "WITH RECURSIVE pairs AS (" + _SIMHASH_PAIRS_SQL + "),\n"
+            """edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs
             ),
-            h AS (
-              SELECT doc_id,
-                     CAST(list_reduce(
-                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                                    list_transform(string_split(tok, ''),
-                                                   c -> CAST(ord(c) AS HUGEINT))),
-                       (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
-                                  * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
-                     ) AS UBIGINT) AS fnv
-              FROM tok
-            ),
-            bits AS (
-              SELECT doc_id, i.i AS i,
-                     SUM(CAST((fnv >> CAST(i.i AS INT)) & 1 AS BIGINT)) AS s,
-                     COUNT(*) AS n
-              FROM h, (SELECT unnest(range(64)) AS i) i
-              GROUP BY doc_id, i.i
-            ),
-            sig AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN 2*s >= n THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
-                              ELSE 0 END) AS us
-              FROM bits GROUP BY doc_id
-            ),
-            sh AS (
-              -- keep the unsigned form for the xor (a negative BIGINT
-              -- cannot CAST to UBIGINT in DuckDB — range-checked)
-              SELECT doc_id, CAST(us AS UBIGINT) AS uh FROM sig
+            reach(id, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
             )
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   CAST(bit_count(xor(a.uh, b.uh)) AS INT) AS hamming
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.uh, b.uh)) <= 3""",
+            SELECT id, MIN(r) AS component FROM reach GROUP BY id"""),
+
 
         # documents text is ASCII (verified: max char code 121), so ord()
         # per char == utf-8 byte; the engine's prefix-sum byte mean is an

@@ -414,3 +414,111 @@ def dedup_rank(df: DataFrame, keys: list[str], order: list) -> DataFrame:
     parse_osm_xml.py:296-352): rank within keys by order, keep first."""
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# near-dup CLUSTERS: connected components over a pair table
+# ---------------------------------------------------------------------------
+
+def _cc_canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u < v), no self-loops, distinct."""
+    return (e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
+                         max_iter: int = 30) -> DataFrame:
+    """(a, b) near-dup pairs -> (id, component) where component is the
+    smallest id reachable through the pair graph. Every id appearing in
+    pairs gets a row; component representatives map to themselves.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    is two shuffle joins + a groupBy-min, and the edge set converges to a
+    star forest in O(log^2 n) rounds REGARDLESS of component diameter.
+    Plain min-label propagation needs O(diameter) rounds, and real
+    boilerplate near-dup chains (page_1 ~ page_2 ~ ... ~ page_k) make the
+    diameter O(cluster size) — the star-contraction rounds are what make
+    this safe on a 100 TB corpus. No driver-side state: the only per-round
+    driver value is the convergence count.
+
+    Each round:
+      large-star: every node links its LARGER neighbors to its smallest
+        neighborhood member (incl. itself);
+      small-star: every node links its smaller-or-equal neighbors (and
+        itself) to the smallest of them.
+    Fixpoint: the canonical edge set stops changing; edges are then
+    exactly (member -> component min)."""
+    e = _cc_canon(pairs.select(F.col(id_a).cast("long").alias("u"),
+                               F.col(id_b).cast("long").alias("v"))
+                  .filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull()))
+    # localCheckpoint, not persist: persist caches DATA but keeps the
+    # logical plan growing each round — by round ~5 the nested plan tree
+    # alone OOMs the driver (measured). The checkpoint cuts lineage so
+    # every round starts from a flat scan. (On a cluster with executor
+    # loss you would use a reliable checkpoint dir instead.)
+    e = e.localCheckpoint(eager=True)
+    # multiset fingerprint for the cheap convergence test: (count,
+    # sum-of-row-hashes) in ONE action per round; on a fingerprint match
+    # the exact exceptAll confirms (so a hash collision can only cost one
+    # extra round, never a wrong result)
+    def _fp(df):
+        # 40-bit masked hashes: the sum stays < 2^63 (ANSI mode) up to
+        # ~8e6 billion rows
+        r = df.agg(F.count("*").alias("n"),
+                   F.sum(F.xxhash64("u", "v")
+                         .bitwiseAND(F.lit((1 << 40) - 1))).alias("s")
+                   ).collect()[0]
+        return (r.n, r.s)
+
+    fp_prev = _fp(e)
+    for it in range(max_iter):
+        # ---- large-star: link every strictly-larger neighbor of u to
+        # min(neighborhood(u) + u) ----
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.min("v").alias("m"))
+                .select("u", F.least("m", F.col("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        e1 = _cc_canon(large).localCheckpoint(eager=True)
+        # ---- small-star: per child c (canonical edges are (parent u < c)),
+        # link every parent AND c itself to the smallest parent ----
+        pm = e1.groupBy("v").agg(F.min("u").alias("m"))
+        small = (e1.join(pm, "v")
+                 .select(F.col("u"), F.col("m").alias("v"))
+                 .union(pm.select(F.col("v").alias("u"), F.col("m").alias("v"))))
+        e2 = _cc_canon(small).localCheckpoint(eager=True)
+        fp2 = _fp(e2)
+        stable = fp2 == fp_prev and e2.exceptAll(e).isEmpty()
+        e, fp_prev = e2, fp2
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # converged star forest, canonical (u, v): u IS the component min,
+    # v the member; roots map to themselves
+    labels = (e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+              .union(e.select(F.col("u").alias("id"), F.col("u").alias("component")))
+              .distinct())
+    return labels
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         id_a: str = "a", id_b: str = "b") -> DataFrame:
+    """Cluster-level dedup: one canonical document per near-dup component
+    (the smallest id — deterministic), all other cluster members dropped;
+    documents in no pair pass through untouched. This is the operation a
+    training-data pipeline actually runs on the pair tables the
+    minhash/simhash/cosine operators emit."""
+    labels = connected_components(pairs, id_a, id_b)
+    keep = labels.filter(F.col("id") == F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    dropped = labels.filter(F.col("id") != F.col("component")) \
+                    .select(F.col("id").alias(id_col))
+    return docs.join(dropped, id_col, "left_anti")
