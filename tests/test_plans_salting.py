@@ -130,3 +130,19 @@ def test_index_pad_marker_is_in_band(spark):
     with _pytest.raises(ValueError, match="marker"):
         candidate_join(p, idx.drop(INDEX_PAD_COL), attrs, E.CFG, net=net)
 
+
+
+def test_onepass_matcher_plan_is_one_stage(spark, pages, net, cfg):
+    """The flagship regime (broadcastable network): the WHOLE matcher must
+    be a single narrow Python stage — no Exchange (shuffle), no join, no
+    window, exactly one MapInPandas — so pages -> matched is one
+    embarrassingly parallel map at any executor count."""
+    from st_mapmatching_spark.operators.matching import match_pages_onepass
+    pages_df = spark.createDataFrame(pages[["url", "text"]])
+    df = match_pages_onepass(spark, pages_df, net, cfg)
+    plan = _plan(df, spark)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    # formatted explain lists each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
