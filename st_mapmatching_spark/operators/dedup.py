@@ -510,15 +510,24 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
 
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
-                         id_a: str = "a", id_b: str = "b") -> DataFrame:
-    """Cluster-level dedup: one canonical document per near-dup component
-    (the smallest id — deterministic), all other cluster members dropped;
-    documents in no pair pass through untouched. This is the operation a
-    training-data pipeline actually runs on the pair tables the
-    minhash/simhash/cosine operators emit."""
+                         id_a: str = "a", id_b: str = "b",
+                         order: list | None = None) -> DataFrame:
+    """Cluster-level dedup: ONE document per near-dup component, all other
+    cluster members dropped; documents in no pair pass through untouched.
+    This is the operation a training-data pipeline actually runs on the
+    pair tables the minhash/simhash/cosine operators emit.
+
+    order=None keeps the smallest id (deterministic, no doc-side data
+    needed). order=[...] (e.g. [F.desc("quality"), id_col]) keeps the
+    top-ranked doc per component — keep-best-quality dedup — via a window
+    rank over the component key (always include a unique tiebreaker)."""
     labels = connected_components(pairs, id_a, id_b)
-    keep = labels.filter(F.col("id") == F.col("component")) \
-                 .select(F.col("id").alias(id_col))
-    dropped = labels.filter(F.col("id") != F.col("component")) \
-                    .select(F.col("id").alias(id_col))
-    return docs.join(dropped, id_col, "left_anti")
+    if order is None:
+        dropped = labels.filter(F.col("id") != F.col("component")) \
+                        .select(F.col("id").alias(id_col))
+        return docs.join(dropped, id_col, "left_anti")
+    lab = labels.select(F.col("id").alias(id_col), "component")
+    with_c = (docs.join(lab, id_col, "left")
+              .withColumn("component",
+                          F.coalesce("component", F.col(id_col))))
+    return dedup_rank(with_c, ["component"], order).drop("component")

@@ -84,3 +84,17 @@ def test_keep_canonical(spark):
     kept = sorted(r.doc_id for r in
                   dedup_keep_canonical(docs, pairs).collect())
     assert kept == [0, 3, 4]
+
+
+def test_keep_best_quality(spark):
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "quality": [0.1, 0.9, 0.5, 0.7, 0.2, 0.8],
+        "text": [f"d{i}" for i in range(6)]}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        [(1, 0), (1, 2), (4, 5)], columns=["a", "b"]))
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(
+        docs, pairs, order=[F.desc("quality"), "doc_id"]).collect())
+    # cluster {0,1,2} -> best quality 1; {4,5} -> 5; 3 untouched
+    assert kept == [1, 3, 5]
