@@ -39,7 +39,6 @@ from ..config import MatchConfig
 from ..functions.geo_cols import cell_col, xy_cols
 from ..graph.network import Network
 from ..kernels.linear_ref import project_core
-from ..kernels.simplify import simplify_points
 from ..sources.extract import extract_points
 
 TRAJ_SCHEMA = "url string, pid_raw long, x double, y double, t_epoch long"
@@ -81,7 +80,16 @@ def simplify_trajs(trajs: DataFrame, cfg: MatchConfig) -> DataFrame:
     """Per-trajectory Douglas-Peucker in metric coords; emits dense pid
     0..m-1 (matching the reference's reset_index at
     /root/reference/mapmatching/geo/ops/simplify.py:73-82). x/y out are
-    metric. The projection to metric happens JVM-side before grouping."""
+    metric. The projection to metric happens JVM-side before grouping.
+
+    One url-hash shuffle (inherent: input is point rows), then ONE
+    mapInPandas running the BATCHED DP kernel over every trajectory in
+    the Arrow batch at once — the previous per-url applyInPandas paid
+    ~12 ms of fixed Python overhead per group (the measured cost that
+    motivated extract_simplify's batch shape), dominating the actual
+    kernel at ~50-point trajectories. Url-boundary buffering carries the
+    last (possibly incomplete) url of each Arrow batch into the next, the
+    same pattern as the fused matcher."""
     lon0, lat0 = cfg.lon0, cfg.lat0
     x, y = xy_cols(F.col("x"), F.col("y"), lon0, lat0)
     pts = trajs.select("url", "pid_raw", x.alias("xm"), y.alias("ym"))
@@ -89,16 +97,41 @@ def simplify_trajs(trajs: DataFrame, cfg: MatchConfig) -> DataFrame:
     tolerance = cfg.tolerance
     do_simplify = cfg.simplify
 
-    def op(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pid_raw")
+    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.simplify import simplify_points_batch
+        u = pdf.url.to_numpy()
         xy = pdf[["xm", "ym"]].to_numpy()
-        idx = simplify_points(xy, tolerance) if do_simplify and len(xy) > 1 else np.arange(len(xy))
-        out = pdf.iloc[idx]
-        return pd.DataFrame({"url": out.url.to_numpy(),
-                             "pid": np.arange(len(idx), dtype=np.int32),
-                             "x": out.xm.to_numpy(), "y": out.ym.to_numpy()})
+        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+        starts, ends = bounds[:-1], bounds[1:]
+        if do_simplify:
+            keepm = simplify_points_batch(xy, starts, ends, tolerance)
+        else:
+            keepm = np.ones(len(xy), dtype=bool)
+        counts = np.add.reduceat(keepm, starts)
+        keep = np.flatnonzero(keepm)
+        pid = (np.arange(len(keep)) -
+               np.repeat(np.cumsum(counts) - counts, counts)).astype(np.int32)
+        return pd.DataFrame({"url": np.repeat(u[starts], counts), "pid": pid,
+                             "x": xy[keep, 0], "y": xy[keep, 1]})
 
-    return pts.groupBy("url").applyInPandas(op, schema=POINTS_SCHEMA)
+    def op(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                buf = None
+                continue
+            u = pdf.url.to_numpy()
+            cut = int(np.searchsorted(u, u[-1], side="left"))
+            buf = pdf.iloc[cut:]
+            if cut:
+                yield _frame(pdf.iloc[:cut])
+        if buf is not None and len(buf):
+            yield _frame(buf)
+
+    src = pts.repartition("url").sortWithinPartitions("url", "pid_raw")
+    return src.mapInPandas(op, schema=url_typed(POINTS_SCHEMA, trajs))
 
 
 def extract_arrays(pdf: pd.DataFrame, lon0: float, lat0: float,
