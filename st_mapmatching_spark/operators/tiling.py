@@ -21,7 +21,7 @@ from ..config import MatchConfig
 from ..functions.geo_cols import cell_of_xy
 from ..graph.network import Network
 from ..kernels.cells import box_cover_cells
-from ..kernels.polygon import points_in_ring, ring_bbox
+from ..kernels.polygon import ring_bbox
 
 
 def tiles_cell_cover(tiles: pd.DataFrame, cell_size: float) -> pd.DataFrame:
@@ -59,24 +59,39 @@ def assign_tiles(spark: SparkSession, points: DataFrame, tiles: pd.DataFrame,
                         & (F.col("y") >= F.col("by0")) & (F.col("y") <= F.col("by1")))
                 .select("url", "pid", "x", "y", "tile_id"))
 
-    rings = {int(t): np.vstack(p).astype(np.float64) for t, p in zip(tiles.tile_id, tiles.polygon)}
-    bc = spark.sparkContext.broadcast(rings)
-
-    def refine(batches):
-        rr = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.reset_index(drop=True)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for tile_id, grp in pdf.groupby("tile_id"):
-                pos = grp.index.to_numpy()
-                keep[pos] = points_in_ring(grp.x.to_numpy(), grp.y.to_numpy(), rr[int(tile_id)])
-            yield pdf[keep]
-
-    schema = "url string, pid int, x double, y double, tile_id long"
-    return joined.select("url", "pid", "x", "y", "tile_id") \
-                 .mapInPandas(refine, schema=schema)
+    # Exact ray-cast ENTIRELY JVM-side: the ring vertices are plan-time
+    # constants, so the crossing-parity test is an F.aggregate (XOR fold)
+    # over a broadcast per-tile edge list — bit-identical to
+    # kernels/polygon.points_in_ring (same IEEE op order: ((dx*(y-y0))/dy)
+    # + x0, same half-open crossing convention; zero-dy edges can never
+    # cross and are dropped at build time, which also keeps ANSI mode's
+    # divide-by-zero error out of the plan). Replaces a mapInPandas refine
+    # whose Arrow round-trip of every candidate row was the measured
+    # memory-bandwidth hog of the tiles job at 10^8 points.
+    edge_rows = []
+    for t, p in zip(tiles.tile_id, tiles.polygon):
+        ring = np.vstack(p).astype(np.float64)
+        if ring.shape[0] >= 2 and np.allclose(ring[0], ring[-1]):
+            ring = ring[:-1]
+        ed = []
+        for i in range(ring.shape[0]):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % ring.shape[0]]
+            if y1 != y0:
+                ed.append((float(x0), float(y0), float(y1),
+                           float(x1 - x0), float(y1 - y0)))
+        edge_rows.append((int(t), ed))
+    edf = spark.createDataFrame(
+        edge_rows, "tile_id long, edges array<struct<"
+                   "x0:double,y0:double,y1:double,dx:double,dy:double>>")
+    inside = F.aggregate(
+        F.col("edges"), F.lit(False),
+        lambda acc, e: acc != (
+            ((e["y0"] > F.col("y")) != (e["y1"] > F.col("y")))
+            & (F.col("x") < e["dx"] * (F.col("y") - e["y0"]) / e["dy"] + e["x0"])))
+    return (joined.join(F.broadcast(edf), "tile_id")
+            .filter(inside)
+            .select("url", "pid", "x", "y", "tile_id"))
 
 
 def rasterize_points(points: DataFrame, cell_size: float,
