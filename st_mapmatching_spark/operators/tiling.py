@@ -41,9 +41,9 @@ def assign_tiles(spark: SparkSession, points: DataFrame, tiles: pd.DataFrame,
     """points(url, pid, x, y metric) -> (url, pid, tile_id).
 
     Plan: cell equi-join against the broadcast tile cover (prefilter), then
-    exact ray-cast refine in one Arrow pass. With exact=False (all tiles
-    rectangular), the refine short-circuits to bbox predicates that stay
-    JVM-side.
+    exact ray-cast refine as a JVM-side aggregate over the broadcast edge
+    lists (no Python anywhere). With exact=False (all tiles rectangular),
+    the refine short-circuits to closed-box bbox predicates instead.
     """
     cover = spark.createDataFrame(tiles_cell_cover(tiles, cfg.cell_size))
     pts = points.withColumn("cell", cell_of_xy(F.col("x"), F.col("y"), cfg.cell_size))
