@@ -110,14 +110,20 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     n_trajs = pages.count()                         # materialize input
 
     # steady-state: one warm-up (codegen/broadcast compile once per cluster
-    # lifetime — amortized at 100 TB), then one timed run
-    df = match_pages(spark, pages, entry._net(), entry.CFG)
-    df.count(); df.unpersist()
-    t0 = time.perf_counter()
-    df = match_pages(spark, pages, entry._net(), entry.CFG)
-    df.count()
-    t_match = time.perf_counter() - t0
-    df.unpersist()
+    # lifetime — amortized at 100 TB), then one timed run.
+    # SPARK_GRAFT_SKIP_MATCH=1 runs a tiles-only leg (hand-run pairs that
+    # amortize the tiles job's fixed latency at big SPARK_GRAFT_TILES_MULT
+    # without paying the match legs).
+    if os.environ.get("SPARK_GRAFT_SKIP_MATCH"):
+        t_match = float("nan")
+    else:
+        df = match_pages(spark, pages, entry._net(), entry.CFG)
+        df.count(); df.unpersist()
+        t0 = time.perf_counter()
+        df = match_pages(spark, pages, entry._net(), entry.CFG)
+        df.count()
+        t_match = time.perf_counter() - t0
+        df.unpersist()
 
     # The tiles job is ~15x faster per point than the matcher, so at a
     # mult where the match legs are minutes the tiles legs are seconds —
