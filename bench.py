@@ -106,17 +106,18 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
 
     spark = get_spark(cores=cpus, app=f"bench-scaling-{cpus}")
     points = D.replicate_points(D.derive_points(spark, sf_dir), mult)
-    pages = entry._render_pages(points).persist()
-    n_trajs = pages.count()                         # materialize input
 
     # steady-state: one warm-up (codegen/broadcast compile once per cluster
     # lifetime — amortized at 100 TB), then one timed run.
     # SPARK_GRAFT_SKIP_MATCH=1 runs a tiles-only leg (hand-run pairs that
     # amortize the tiles job's fixed latency at big SPARK_GRAFT_TILES_MULT
-    # without paying the match legs).
+    # without paying the match legs or the pages render they need).
     if os.environ.get("SPARK_GRAFT_SKIP_MATCH"):
         t_match = float("nan")
+        n_trajs = -1
     else:
+        pages = entry._render_pages(points).persist()
+        n_trajs = pages.count()                     # materialize input
         df = match_pages(spark, pages, entry._net(), entry.CFG)
         df.count(); df.unpersist()
         t0 = time.perf_counter()
