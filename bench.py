@@ -113,7 +113,10 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     # amortize the tiles job's fixed latency at big SPARK_GRAFT_TILES_MULT
     # without paying the match legs or the pages render they need).
     if os.environ.get("SPARK_GRAFT_SKIP_MATCH"):
-        t_match = float("nan")
+        # None (JSON null), not NaN: json.dumps serializes NaN as the
+        # non-standard token `NaN`, which strict parsers (jq, json.loads
+        # with allow_nan=False) reject in BENCH/LEGS.jsonl
+        t_match = None
         n_trajs = -1
     else:
         pages = entry._render_pages(points).persist()
@@ -149,8 +152,10 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
     n_assign = assign_tiles(spark, pts, tiles, entry.CFG).count()
     t_tiles = time.perf_counter() - t0
     out = {"cpus": int(cpus), "mult": mult, "n_trajs": n_trajs, "n_points": n_pts,
-           "match_sec": round(t_match, 2), "tiles_sec": round(t_tiles, 2),
-           "trajs_per_sec": round(n_trajs / t_match, 2),
+           "match_sec": None if t_match is None else round(t_match, 2),
+           "tiles_sec": round(t_tiles, 2),
+           "trajs_per_sec": None if t_match is None
+           else round(n_trajs / t_match, 2),
            "tile_assignments_per_sec": round(n_assign / t_tiles, 2)}
     spark.stop()
     # every leg persists its own record: a crash in whatever launched the
@@ -344,6 +349,10 @@ def main():
             results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
         rlo, rhi = results[lo], results[hi]
         ratio = int(hi) / int(lo)
+        if rlo["trajs_per_sec"] is None or rhi["trajs_per_sec"] is None:
+            raise SystemExit("--scaling needs match legs; unset "
+                             "SPARK_GRAFT_SKIP_MATCH (tiles-only legs are "
+                             "for hand-run pairs, reported from LEGS.jsonl)")
         eff_match = (rhi["trajs_per_sec"] / rlo["trajs_per_sec"]) / ratio
         eff_tiles = (rhi["tile_assignments_per_sec"] / rlo["tile_assignments_per_sec"]) / ratio
         # efficiency against what THIS host phase can deliver for pure

@@ -390,6 +390,13 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
                .filter(F.col("dist_p2c") <= r))
 
     if slim and url_local:
+        if not broadcast_index:
+            raise ValueError(
+                "url_local requires broadcast_index=True: a shuffled cell "
+                "join repartitions candidates by cell, destroying the url "
+                "contiguity the skipped url shuffle/dedupe/top-k relies on "
+                "— downstream would decode per-partition url fragments as "
+                "whole trajectories")
         # Caller guarantees url-locality: points came from a
         # one-row-per-trajectory source (pages), so an url's points are
         # emitted inside one extract task and the whole chain down to here

@@ -925,7 +925,13 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     # streaming path: no cands persist — the candidate chain has exactly
     # one consumer (fused_match); the no-cand anti-join reads the small
     # matched output instead
-    local_fast = url_local and small_net
+    # url-locality is only preserved when the cell join is a broadcast:
+    # with broadcast_index=False the cell equi-join shuffles candidates by
+    # cell, scattering each url across partitions, and the skipped url
+    # repartition/dedupe/top-k would then decode per-partition fragments
+    # as whole trajectories (wrong statuses/epaths). Fail back to the
+    # staged path instead of silently producing fragment matches.
+    local_fast = url_local and small_net and broadcast_index
     # with a caller-provided url universe the points table TOO has exactly
     # one consumer (the candidate chain): extraction streams straight into
     # the fused kernel with no cache materialization, and the url-restore

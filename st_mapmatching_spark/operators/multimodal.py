@@ -2,13 +2,16 @@
 with typed metadata, processed in Arrow-batched `mapInPandas`.
 
 The decode step is CAPABILITY-DISPATCHED (the iceberg_available pattern,
-sources/tables.py): `pil_available()` probes for PIL once per worker;
-when present the real decode runs, otherwise the deterministic
-byte-derived pseudo-decode keeps the Spark-side plumbing (schema,
-batching, partitioning, UDF signatures) real and tested. ``fake=True``
-forces the pseudo-decode (the reproducible test path regardless of
-environment); ``fake=False`` demands the real decode and raises
-NotImplementedError where PIL is absent; ``fake=None`` auto-dispatches.
+sources/tables.py): `pil_available()` probes for PIL ONCE ON THE DRIVER
+and the verdict is pinned into the UDF closure — never re-probed inside
+tasks, so identical rows decode identically regardless of which worker
+(or retry) runs them. When present the real decode runs, otherwise the
+deterministic byte-derived pseudo-decode keeps the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) real and tested.
+``fake=True`` forces the pseudo-decode (the reproducible test path
+regardless of environment); ``fake=False`` demands the real decode and
+raises NotImplementedError where PIL is absent; ``fake=None``
+auto-dispatches on the driver probe.
 """
 
 from __future__ import annotations
@@ -23,8 +26,10 @@ FEATURE_SCHEMA = "url string, kind string, n_bytes int, byte_mean double, byte_s
 
 
 def pil_available() -> bool:
-    """Capability probe for the real image decode (PIL). Called inside the
-    executor-side UDF as well — workers may differ from the driver."""
+    """Capability probe for the real image decode (PIL). Resolved on the
+    driver only — the verdict is pinned into UDF closures so a
+    heterogeneous cluster or a task retry on a different worker cannot
+    change what identical rows decode to."""
     try:  # pragma: no cover - PIL not present in this container
         import PIL.Image  # noqa: F401
         return True
@@ -74,18 +79,31 @@ def extract_media_features(media: DataFrame,
     stay integral in float64), and the 8x8 pseudo-decode's row means come
     from one modular-index gather. No per-row Python in the hot loop.
 
-    The decode is capability-dispatched INSIDE the UDF (fake=None):
-    workers with PIL run the real decode (per-payload — codecs are
-    inherently per-row), workers without it run the vectorized
-    pseudo-decode. fake=True pins the pseudo-decode (deterministic test
-    path); fake=False demands PIL and raises where absent."""
+    The decode capability is resolved ONCE on the driver and pinned into
+    the closure: per-executor probing would make feature values depend on
+    which worker ran the task (heterogeneous clusters / task retries →
+    non-deterministic outputs, broken persist/recompute consistency).
+    fake=None auto-dispatches on the driver's probe; fake=True pins the
+    pseudo-decode (deterministic test path); fake=False demands PIL and
+    raises where absent. On the real path, a payload PIL cannot decode
+    falls back to the deterministic pseudo-decode (documented policy:
+    undecodable bytes still produce a stable feature row rather than
+    failing the whole batch — filter on n_bytes/kind upstream to audit).
+    """
     if fake is False and not pil_available():
         raise NotImplementedError(
             "image decode requires PIL (absent in this container); "
             "fake=None auto-dispatches to the pseudo-decode")
+    # pin the dispatch driver-side — every task decodes identically
+    use_real = (fake is False) or (fake is None and pil_available())
+
+    def _decode_row(p: bytes) -> np.ndarray:
+        try:
+            return _real_decode(p)
+        except Exception:
+            return _pseudo_decode(p)
 
     def op(batches):
-        use_real = (fake is False) or (fake is None and pil_available())
         for pdf in batches:
             pl = [bytes(p) if p is not None else b"" for p in pdf.payload]
             lens = np.array([len(p) for p in pl], dtype=np.int64)
@@ -107,9 +125,10 @@ def extract_media_features(media: DataFrame,
 
             if use_real:
                 # real decode: per-payload PIL (codecs are per-row by
-                # nature); empty payloads produce a zero image
+                # nature); empty payloads produce a zero image and
+                # undecodable payloads fall back to the pseudo-decode
                 feature = np.vstack([
-                    _real_decode(p).astype(np.float64).mean(axis=1)
+                    _decode_row(p).astype(np.float64).mean(axis=1)
                     if len(p) else np.zeros(8)
                     for p in pl]) if n else np.zeros((0, 8))
             # pseudo-decode: tile each payload to 64 bytes (np.resize

@@ -23,6 +23,7 @@ inspection, one file per url, written executor-side).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -198,8 +199,12 @@ def save_figures(figs: DataFrame, folder: str) -> int:
         k = 0
         for pdf in batches:
             for r in pdf.itertuples():
+                # slug + short url hash: distinct urls that differ only in
+                # stripped characters ('a/b' vs 'a_b') must not collide to
+                # one filename and silently overwrite each other
                 slug = re.sub(r"[^A-Za-z0-9._-]+", "_", r.url).strip("_")
-                with open(os.path.join(folder, f"{slug}.svg"), "w") as f:
+                h = hashlib.sha1(r.url.encode()).hexdigest()[:8]
+                with open(os.path.join(folder, f"{slug}-{h}.svg"), "w") as f:
                     f.write(r.svg)
                 k += 1
         yield pd.DataFrame({"n": [k]})

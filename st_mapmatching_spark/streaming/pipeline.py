@@ -158,6 +158,13 @@ def stream_match_batches(spark: SparkSession, pages: DataFrame, net, cfg: MatchC
     def per_batch(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
-        sink_fn(match_pages(spark, batch_df, net, cfg), epoch_id)
+        matched = match_pages(spark, batch_df, net, cfg)
+        try:
+            sink_fn(matched, epoch_id)
+        finally:
+            # match_pages returns a persist()ed frame on the one-pass path;
+            # in a long-running stream each epoch would otherwise pin a new
+            # cached result, growing executor storage memory without bound
+            matched.unpersist()
 
     return pages.writeStream.foreachBatch(per_batch)

@@ -105,6 +105,24 @@ def test_matched_parity_relational(spark, pages_df, net, cfg, oracle_results, fu
     _assert_matches_oracle(got, oracle_results)
 
 
+def test_matched_parity_no_broadcast_index(spark, pages_df, net, cfg,
+                                            oracle_results):
+    """broadcast_index=False must NOT take the url-local shuffle-skip: the
+    shuffled cell join scatters each url across partitions, and skipping
+    the url repartition there decodes per-partition fragments as whole
+    trajectories (r5 ADVICE high — 79/83 mismatches when Catalyst did not
+    auto-broadcast). Pin autoBroadcastJoinThreshold=-1 so Catalyst cannot
+    mask the bug, then require exact oracle parity."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = (match_pages(spark, pages_df, net, cfg, broadcast_index=False)
+               .toPandas().set_index("url"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    _assert_matches_oracle(got, oracle_results)
+
+
 def test_matched_parity_classic_decode(spark, pages_df, pages, net, cfg):
     """beam_search=False runs the classic full-lattice decode
     (viterbi.py:200-268 semantics) — engine must equal the oracle running

@@ -91,6 +91,17 @@ def test_save_figures_roundtrip(figs_pdf, spark, net, pages, cfg, tmp_path):
     assert body.startswith("<svg") and body.rstrip().endswith("</svg>")
 
 
+def test_save_figures_slug_collision(spark, tmp_path):
+    """Urls that differ only in slug-stripped characters ('a/b' vs 'a_b')
+    must land in DISTINCT files — the returned count equals files on disk."""
+    figs = spark.createDataFrame(
+        [("http://x/a/b", "<svg xmlns='http://www.w3.org/2000/svg'></svg>"),
+         ("http://x/a_b", "<svg xmlns='http://www.w3.org/2000/svg'></svg>")],
+        "url string, svg string")
+    n = save_figures(figs, str(tmp_path))
+    assert n == 2 and len(os.listdir(tmp_path)) == 2
+
+
 def test_backdrop_clipped_to_viewport(net):
     """The backdrop must stay O(view): a figure whose trajectory spans a
     corner of the grid must not include far-away edges."""
