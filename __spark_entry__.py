@@ -390,6 +390,62 @@ def q_match_grid(spark, sf):
                     F.round("norm_prob", 6).alias("norm_prob_r"))
 
 
+def q_match_grid_bignet(spark, sf):
+    """THE planet-network gate: the SAME end-to-end pipeline as match_grid
+    but with sp_broadcast_max_rows=0, which defeats the one-pass
+    memoized-sp regime exactly the way a >2,000-node network does (the
+    gate is n_nodes^2 <= min(4e6, sp_broadcast_max_rows) at
+    operators/matching.py — identical code path either way): distributed
+    demand-driven shortest paths, relational sp equi-join scoring
+    (score_pairs_df broadcast_sp=False), post-Viterbi
+    attach_epath_relational. ZERO driver collects of unbounded state —
+    the plan a 100 TB / planet-OSM deployment runs. Hash-gated against
+    the same full DuckDB twin as match_grid (semantics are
+    path-independent by design; throughput of this path on a real 122k-
+    node network is measured by bench.py --bignet-leg)."""
+    from dataclasses import replace
+    from st_mapmatching_spark.operators.matching import match_pages
+    pages = _render_pages(_pts(spark, sf))
+    m = match_pages(spark, pages, _net(), replace(CFG, sp_broadcast_max_rows=0))
+    return m.select("url", "status",
+                    F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"),
+                    F.round("step_0", 6).alias("step_0_r"),
+                    F.round("norm_prob", 6).alias("norm_prob_r"))
+
+
+def q_stream_match(spark, sf):
+    """Streaming end-to-end gate: the SAME pages corpus fed through a real
+    Structured Streaming file source (multiple micro-batches via
+    maxFilesPerTrigger) -> foreachBatch matcher (streaming/pipeline.py
+    stream_match_batches) -> parquet sink, result read back. Because
+    pages are one row per url and urls are independent, the union of
+    per-micro-batch matches MUST equal the batch matched table — so this
+    gate shares match_grid's full DuckDB twin (batch-vs-stream equality
+    checked against an independent oracle, not against the engine
+    itself)."""
+    import tempfile
+    from st_mapmatching_spark.streaming.pipeline import stream_match_batches
+    base = tempfile.mkdtemp(prefix="stream_match_gate_")
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    pages = _render_pages(_pts(spark, sf))
+    pages.repartition(4).write.parquet(in_dir)
+
+    def sink(df, epoch_id):
+        (df.select("url", "status",
+                   F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"),
+                   F.round("step_0", 6).alias("step_0_r"),
+                   F.round("norm_prob", 6).alias("norm_prob_r"))
+         .write.mode("append").parquet(out_dir))
+
+    stream = (spark.readStream.schema(pages.schema)
+              .option("maxFilesPerTrigger", 2).parquet(in_dir))
+    q = (stream_match_batches(spark, stream, _net(), CFG, sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def q_match_grid_classic(spark, sf):
     """beam_search=False: classic full-lattice Viterbi decode
     (reference matching.py:187-188 -> viterbi.py:200-268). dir_trans is
@@ -871,7 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": q_sim_neardup,
         # rows-only
         "match_grid": q_match_grid,
+        "match_grid_bignet": q_match_grid_bignet,
         "match_grid_classic": q_match_grid_classic,
+        "stream_match": q_stream_match,
         "eval_edr": q_eval_edr,
         "eval_erp": q_eval_erp,
         "match_single_point": q_match_single_point,
@@ -1540,6 +1598,11 @@ def oracle_sql() -> dict[str, str]:
         # see st_mapmatching_spark/oracle/match_sql.py for the float-parity
         # and tie-rule design notes
         "match_grid": _match_sql().match_grid_oracle_sql(),
+        # the relational/planet path must produce the SAME rows — one twin
+        "match_grid_bignet": _match_sql().match_grid_oracle_sql(),
+        # batch-vs-stream equality: urls are independent one-row pages, so
+        # the streamed union must equal the batch table — same twin
+        "stream_match": _match_sql().match_grid_oracle_sql(),
         "match_grid_classic": _match_sql().match_grid_classic_oracle_sql(),
         "eval_lcss": _match_sql().eval_lcss_oracle_sql(),
         "eval_edr": _match_sql().eval_edr_oracle_sql(),

@@ -108,9 +108,16 @@ def shortest_paths_to_targets(adj: dict, origin: int, targets, max_dist: float,
         row["cost"] = float(cost[t])
         row["epath"] = ep if ep else None
         if edge_speed is not None and ep:
-            w = np.array([edge_dist[e] for e in ep], dtype=np.float64)
-            s = np.array([edge_speed[e] for e in ep], dtype=np.float64)
-            row["path_speed"] = float(np.average(s, weights=w)) if w.sum() > 0 else 0.0
+            # sequential sums (paths are short, so this equals
+            # np.average's sequential accumulation bitwise) — building
+            # two np.arrays per row dominated the sp stage at 192k rows
+            wsum = 0.0
+            swsum = 0.0
+            for e in ep:
+                w = edge_dist[e]
+                wsum += w
+                swsum += edge_speed[e] * w
+            row["path_speed"] = swsum / wsum if wsum > 0 else 0.0
         if edge_dir_totals is not None and ep:
             cx = cy = w_ = 0.0
             n = 0

@@ -34,16 +34,85 @@ class EdgeDirStats:
     (eid, seg_idx) without Python loops."""
 
     def __init__(self, edge_coords: dict):
+        """Fully vectorized over ALL edges (a per-edge Python loop took
+        ~42 s on a 489k-edge planet-bench network; this takes <1 s).
+        Bitwise-identical to the per-edge formulation: elementwise ops
+        (hypot/bearing/cos/sin/products) are order-independent, and the
+        per-edge prefix sums are built with a masked K-step accumulation
+        that reproduces np.cumsum's sequential addition order exactly —
+        the oracle-parity pins (1e-9) stay untouched."""
         eids = np.array(sorted(edge_coords), dtype=np.int64)
         self.eid_index = {int(e): i for i, e in enumerate(eids)}
         n_edges = len(eids)
 
+        coords = [np.asarray(edge_coords[int(e)], dtype=np.float64)
+                  for e in eids]
+        cnts = np.fromiter((len(c) for c in coords), np.int64, n_edges) \
+            if n_edges else np.zeros(0, dtype=np.int64)
+        if n_edges == 0 or (cnts < 2).any():
+            # degenerate geometries: keep the simple per-edge path
+            self._init_per_edge(eids, coords)
+            return
+        seg_counts = cnts - 1
+        allc = np.concatenate(coords)
+        voff = np.concatenate([[0], np.cumsum(cnts)])
+        self.first_v = allc[voff[:-1]].copy()
+        self.last_v = allc[voff[1:] - 1].copy()
+
+        # flat segments: consecutive vertex pairs, dropping the rows that
+        # cross an edge boundary
+        keep = np.ones(len(allc) - 1, dtype=bool)
+        keep[voff[1:-1] - 1] = False
+        a = allc[:-1][keep]
+        c1 = allc[1:][keep]
+        d = c1 - a
+        ln = np.hypot(d[:, 0], d[:, 1])
+        b = np.radians(bearing_deg(a[:, 0], a[:, 1], c1[:, 0], c1[:, 1]))
+        b = np.atleast_1d(b)
+
+        self.nseg = seg_counts
+        self.L = ln
+        self.cosb = np.cos(b)
+        self.sinb = np.sin(b)
+        # per-edge offsets into the flat seg arrays and into prefix arrays
+        self.off = np.concatenate([[0], np.cumsum(seg_counts)])[:-1]
+        self.p_off = np.concatenate([[0], np.cumsum(seg_counts + 1)])[:-1]
+
+        # prefix sums with a leading 0 per edge: P[e][i] = stats of segs < i.
+        # K-step masked accumulation == per-edge sequential cumsum, bitwise.
+        wx = ln * self.cosb
+        wy = ln * self.sinb
+        total = int(seg_counts.sum()) + n_edges
+        pw = np.zeros(total)
+        pcx = np.zeros(total)
+        pcy = np.zeros(total)
+        accw = np.zeros(n_edges)
+        accx = np.zeros(n_edges)
+        accy = np.zeros(n_edges)
+        kmax = int(seg_counts.max()) if n_edges else 0
+        for k in range(kmax):
+            m = seg_counts > k
+            fi = self.off[m] + k
+            accw[m] = accw[m] + ln[fi]
+            accx[m] = accx[m] + wx[fi]
+            accy[m] = accy[m] + wy[fi]
+            po = self.p_off[m] + 1 + k
+            pw[po] = accw[m]
+            pcx[po] = accx[m]
+            pcy[po] = accy[m]
+        self.pw = pw
+        self.pcx = pcx
+        self.pcy = pcy
+
+    def _init_per_edge(self, eids, coords):
+        """Reference per-edge construction (kept for degenerate/empty
+        geometry sets; the vectorized path above is bitwise-equal)."""
+        n_edges = len(eids)
         seg_counts = np.empty(n_edges, dtype=np.int64)
         L, cb, sb = [], [], []
         fv = np.empty((n_edges, 2))
         lv = np.empty((n_edges, 2))
-        for i, e in enumerate(eids):
-            c = np.asarray(edge_coords[int(e)], dtype=np.float64)
+        for i, c in enumerate(coords):
             d = c[1:] - c[:-1]
             ln = np.hypot(d[:, 0], d[:, 1])
             b = np.radians(bearing_deg(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]))
@@ -54,16 +123,13 @@ class EdgeDirStats:
             sb.append(np.sin(b))
             fv[i] = c[0]
             lv[i] = c[-1]
-
         self.nseg = seg_counts
         self.first_v = fv
         self.last_v = lv
-        self.L = np.concatenate(L)
-        self.cosb = np.concatenate(cb)
-        self.sinb = np.concatenate(sb)
-        # per-edge offsets into the flat seg arrays and into prefix arrays
+        self.L = np.concatenate(L) if L else np.zeros(0)
+        self.cosb = np.concatenate(cb) if cb else np.zeros(0)
+        self.sinb = np.concatenate(sb) if sb else np.zeros(0)
         self.off = np.concatenate([[0], np.cumsum(seg_counts)])[:-1]
-        # prefix sums with a leading 0 per edge: P[e][i] = stats of segs < i
         pw, pcx, pcy = [], [], []
         for i in range(n_edges):
             s, e_ = self.off[i], self.off[i] + seg_counts[i]
@@ -72,20 +138,23 @@ class EdgeDirStats:
             pcx.append(np.concatenate([[0.0], np.cumsum(w * self.cosb[s:e_])]))
             pcy.append(np.concatenate([[0.0], np.cumsum(w * self.sinb[s:e_])]))
         self.p_off = np.concatenate([[0], np.cumsum(seg_counts + 1)])[:-1]
-        self.pw = np.concatenate(pw)
-        self.pcx = np.concatenate(pcx)
-        self.pcy = np.concatenate(pcy)
+        self.pw = np.concatenate(pw) if pw else np.zeros(0)
+        self.pcx = np.concatenate(pcx) if pcx else np.zeros(0)
+        self.pcy = np.concatenate(pcy) if pcy else np.zeros(0)
 
     # ------------------------------------------------------------------
     def edge_totals(self) -> dict:
         """eid -> (tcx, tcy, tw, n) for path-stat accumulation in the
-        shortest-path job."""
-        out = {}
-        for e, i in self.eid_index.items():
-            p = self.p_off[i] + self.nseg[i]
-            out[e] = (float(self.pcx[p]), float(self.pcy[p]), float(self.pw[p]),
-                      int(self.nseg[i]))
-        return out
+        shortest-path job. Vectorized gather + one dict build (memoized:
+        the dict is rebuilt identically on every shortest_path_table
+        broadcast otherwise)."""
+        if not hasattr(self, "_edge_totals"):
+            p = self.p_off + self.nseg
+            cx, cy, w = self.pcx[p], self.pcy[p], self.pw[p]
+            self._edge_totals = {
+                e: (float(cx[i]), float(cy[i]), float(w[i]), int(self.nseg[i]))
+                for e, i in self.eid_index.items()}
+        return self._edge_totals
 
     def _dense(self, eid: np.ndarray) -> np.ndarray:
         return np.array([self.eid_index[int(e)] for e in eid], dtype=np.int64)

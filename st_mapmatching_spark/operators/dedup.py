@@ -429,7 +429,8 @@ def _cc_canon(e: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         reliable_checkpoint_dir: str | None = None) -> DataFrame:
     """(a, b) near-dup pairs -> (id, component) where component is the
     smallest id reachable through the pair graph. Every id appearing in
     pairs gets a row; component representatives map to themselves.
@@ -454,12 +455,28 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
     e = _cc_canon(pairs.select(F.col(id_a).cast("long").alias("u"),
                                F.col(id_b).cast("long").alias("v"))
                   .filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull()))
-    # localCheckpoint, not persist: persist caches DATA but keeps the
-    # logical plan growing each round — by round ~5 the nested plan tree
-    # alone OOMs the driver (measured). The checkpoint cuts lineage so
-    # every round starts from a flat scan. (On a cluster with executor
-    # loss you would use a reliable checkpoint dir instead.)
-    e = e.localCheckpoint(eager=True)
+    # Checkpoint, not persist: persist caches DATA but keeps the logical
+    # plan growing each round — by round ~5 the nested plan tree alone
+    # OOMs the driver (measured). The checkpoint cuts lineage so every
+    # round starts from a flat scan.
+    #
+    # reliable_checkpoint_dir: on a real cluster pass a durable path
+    # (HDFS/S3) — localCheckpoint stores blocks on executors and a lost
+    # executor makes every later round unrecoverable; reliable
+    # checkpoints survive executor loss. Defaults to localCheckpoint for
+    # single-node / ephemeral runs (faster, no filesystem dependency).
+    if reliable_checkpoint_dir is not None:
+        spark = pairs.sparkSession
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() != reliable_checkpoint_dir:
+            sc.setCheckpointDir(reliable_checkpoint_dir)
+
+        def _ckpt(df):
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+    e = _ckpt(e)
     # multiset fingerprint for the cheap convergence test: (count,
     # sum-of-row-hashes) in ONE action per round; on a fingerprint match
     # the exact exceptAll confirms (so a hash collision can only cost one
@@ -484,14 +501,14 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
         large = (sym.join(mins, "u")
                  .filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        e1 = _cc_canon(large).localCheckpoint(eager=True)
+        e1 = _ckpt(_cc_canon(large))
         # ---- small-star: per child c (canonical edges are (parent u < c)),
         # link every parent AND c itself to the smallest parent ----
         pm = e1.groupBy("v").agg(F.min("u").alias("m"))
         small = (e1.join(pm, "v")
                  .select(F.col("u"), F.col("m").alias("v"))
                  .union(pm.select(F.col("v").alias("u"), F.col("m").alias("v"))))
-        e2 = _cc_canon(small).localCheckpoint(eager=True)
+        e2 = _ckpt(_cc_canon(small))
         fp2 = _fp(e2)
         stable = fp2 == fp_prev and e2.exceptAll(e).isEmpty()
         e, fp_prev = e2, fp2

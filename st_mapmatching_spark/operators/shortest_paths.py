@@ -43,12 +43,27 @@ def shortest_path_table(spark: SparkSession, demands: DataFrame, net: Network,
                        net.dir_stats().edge_totals()))
     max_dist = cfg.max_dist
 
-    def per_origin(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Origins are BATCHED into hash groups rather than one applyInPandas
+    # group per origin: a planet-corridor demand set has 1e5+ distinct
+    # origins, and the per-group overhead (pandas frame build, Arrow batch
+    # flush) dominated the actual Dijkstra work (profiled 20 s -> the
+    # grouped form cut the sp stage materially on the 122k-node bench).
+    # Hash grouping keeps the work balanced; results are identical — one
+    # bounded Dijkstra per origin either way.
+    n_groups = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4,
+                   32)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         adj, espeed, edist, etot = bc.value
-        o = int(pdf.o_node.iloc[0])
-        rows = shortest_paths_to_targets(adj, o, pdf.d_node.unique().tolist(),
-                                         max_dist, espeed, edist, etot)
+        rows = []
+        for o, sub in pdf.groupby("o_node", sort=False):
+            rows.extend(shortest_paths_to_targets(
+                adj, int(o), sub.d_node.unique().tolist(),
+                max_dist, espeed, edist, etot))
         return pd.DataFrame(rows, columns=_SP_COLS)
 
+    from pyspark.sql import functions as F
     return (demands.dropDuplicates(["o_node", "d_node"])
-            .groupBy("o_node").applyInPandas(per_origin, schema=SP_SCHEMA))
+            .withColumn("_grp", F.pmod(F.xxhash64("o_node"), F.lit(n_groups)))
+            .groupBy("_grp")
+            .applyInPandas(per_group, schema=SP_SCHEMA))

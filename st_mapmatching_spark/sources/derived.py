@@ -141,6 +141,98 @@ def replicate_points(points: DataFrame, mult: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# big synthetic network + snake points (the planet-path benchmark input):
+# the same metric grid / boustrophedon construction generalized to g nodes
+# per side, fully numpy-vectorized (a 350x350 grid is 122,500 nodes /
+# 488,600 directed edges — a Python per-edge loop would dominate setup).
+# No DuckDB twin is needed: correctness of the staged relational path is
+# hash-gated by match_grid_bignet on the 9x9 oracle grid; this input only
+# measures its throughput/scaling (bench.py --bignet-leg).
+# ---------------------------------------------------------------------------
+
+def big_grid_edges_nodes(g: int, s: float = S):
+    """(edges_df, nodes_df) for a g x g metric grid centered on the
+    origin: 2-vertex straight segments, reverse twins at eid + n_oneway —
+    the 9x9 layout of sql_grid_edges_pandas generalized and vectorized."""
+    x0 = -(g - 1) * s / 2.0
+    n_hor = g * (g - 1)
+    n_oneway = 2 * n_hor
+
+    eid = np.arange(n_oneway, dtype=np.int64)
+    horiz = eid < n_hor
+    i = np.where(horiz, eid % (g - 1), (eid - n_hor) // (g - 1))
+    j = np.where(horiz, eid // (g - 1), (eid - n_hor) % (g - 1))
+    ax = x0 + i * s
+    ay = x0 + j * s
+    bx = np.where(horiz, ax + s, ax)
+    by = np.where(horiz, ay, ay + s)
+    src = np.where(horiz, j * g + i, j * g + i)
+    dst = np.where(horiz, j * g + i + 1, (j + 1) * g + i)
+
+    fwd = pd.DataFrame({
+        "eid": eid, "src": src, "dst": dst, "way_id": eid,
+        "dir": np.int64(1), "speed": 15.0,
+        "geom": [[[a, b], [c, d]] for a, b, c, d in zip(ax, ay, bx, by)]})
+    rev = pd.DataFrame({
+        "eid": eid + n_oneway, "src": dst, "dst": src, "way_id": eid,
+        "dir": np.int64(-1), "speed": 15.0,
+        "geom": [[[c, d], [a, b]] for a, b, c, d in zip(ax, ay, bx, by)]})
+    edges = pd.concat([fwd, rev], ignore_index=True)
+
+    jj, ii = np.divmod(np.arange(g * g, dtype=np.int64), g)
+    nodes = pd.DataFrame({"nid": np.arange(g * g, dtype=np.int64),
+                          "x": x0 + ii * s, "y": x0 + jj * s})
+    return edges, nodes
+
+
+def big_grid_network(cfg: MatchConfig | None = None, g: int = 350,
+                     s: float = S):
+    from ..graph.network import Network
+    cfg = cfg or MatchConfig(lon0=LON0, lat0=LAT0)
+    e, n = big_grid_edges_nodes(g, s)
+    return Network(e, n, cfg, geom_metric=True)
+
+
+def derive_points_snake(spark: SparkSession, sf_dir: str, g: int,
+                        s: float = S, step: float = STEP_M) -> DataFrame:
+    """derive_points generalized to a g x g grid: boustrophedon route over
+    the grid's horizontal rows joined by alternating edge connectors, so
+    points are road-following on big_grid_network(g). Same closed form as
+    derive_points (which is this with g=9 plus the shared oracle
+    constants)."""
+    x0 = -(g - 1) * s / 2.0
+    row_len = (g - 1) * s
+    block = row_len + s
+    snake_len = (g - 1) * block + row_len
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id").cast("long")
+    u = F.col("user_id").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pid = (F.row_number().over(w) - 1).cast("int")
+
+    sa = ((u * A_USER) % F.lit(int(snake_len)) + pid.cast("long") * F.lit(int(step))) \
+        % F.lit(int(snake_len))
+    sa = sa.cast("double")
+    blk = F.floor(sa / F.lit(block)).cast("long")
+    within = sa - blk.cast("double") * F.lit(block)
+    on_row = within <= F.lit(row_len)
+    even = blk % 2 == 0
+    y_row = F.lit(x0) + blk.cast("double") * F.lit(s)
+    x_on_row = F.when(even, F.lit(x0) + within).otherwise(F.lit(-x0) - within)
+    lat = (((e * A_S) % 81) - 40) / F.lit(40.0) * F.lit(20.0)
+    px = F.when(on_row, x_on_row).otherwise(F.when(even, F.lit(-x0)).otherwise(F.lit(x0))) \
+        + F.when(on_row, F.lit(0.0)).otherwise(lat)
+    py = F.when(on_row, y_row + lat).otherwise(y_row + (within - F.lit(row_len)))
+
+    return ev.select(
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("url"),
+        pid.alias("pid"), px.alias("x"), py.alias("y"),
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("t_ms"),
+        e.alias("event_id"))
+
+
+# ---------------------------------------------------------------------------
 # derived points / network: DuckDB SQL side
 # ---------------------------------------------------------------------------
 

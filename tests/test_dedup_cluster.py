@@ -50,6 +50,25 @@ def test_chain_worst_case_diameter(spark):
     _check(spark, [(i, i + 1) for i in range(40)])
 
 
+def test_chain_with_reliable_checkpoint_dir(spark, tmp_path):
+    """reliable_checkpoint_dir routes the per-round lineage cut through a
+    durable checkpoint (survives executor loss on a real cluster) — same
+    labels, and the dir actually receives checkpoint data."""
+    import os
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).astype("int64"))
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {int(r.id): int(r.component)
+           for r in connected_components(
+               pairs, reliable_checkpoint_dir=ckpt).collect()}
+    want = _uf_labels(41, edges)
+    assert got == want
+    # the checkpoint dir must have been used (rdd checkpoint files on disk)
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "reliable checkpoint dir is empty — option not honored"
+
+
 def test_reversed_chain_and_gaps(spark):
     _check(spark, [(i + 1, i) for i in range(0, 30, 3)])
 

@@ -44,6 +44,52 @@ def test_tile_assignment_matches_bruteforce(spark, points_df, tiles, cfg):
         want.astype({"pid": "int64"}))
 
 
+def test_assign_tiles_distributed_catalog_parity(spark, points_df, tiles, cfg):
+    """A Spark-DataFrame tile catalog must produce the same assignments as
+    the driver-built path (both exact ray-cast and bbox modes)."""
+    tiles_df = spark.createDataFrame(
+        [(int(t), [[float(x), float(y)] for x, y in np.vstack(p)])
+         for t, p in zip(tiles.tile_id, tiles.polygon)],
+        "tile_id long, polygon array<array<double>>")
+    for exact in (True, False):
+        got = (assign_tiles(spark, points_df, tiles_df, cfg, exact=exact)
+               .select("url", "pid", "tile_id").toPandas()
+               .sort_values(["url", "pid", "tile_id"]).reset_index(drop=True))
+        want = (assign_tiles(spark, points_df, tiles, cfg, exact=exact)
+                .select("url", "pid", "tile_id").toPandas()
+                .sort_values(["url", "pid", "tile_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want), exact
+
+
+def test_assign_tiles_1e5_catalog_never_on_driver(spark, cfg):
+    """10^5-tile catalog generated AS A SPARK JOB (spark.range -> polygon
+    columns; never a driver pandas frame): square tiles on a 320x320 grid,
+    so the expected assignment is closed-form floor arithmetic."""
+    from pyspark.sql import functions as F
+    side = 320                      # 102,400 tiles
+    ts = 50.0                       # tile size, meters
+    t = spark.range(side * side).select(F.col("id").alias("tile_id"))
+    tx = (F.col("tile_id") % side).cast("double") * ts
+    ty = (F.col("tile_id") / side).cast("long").cast("double") * ts
+    poly = F.array(F.array(tx, ty), F.array(tx + ts, ty),
+                   F.array(tx + ts, ty + ts), F.array(tx, ty + ts),
+                   F.array(tx, ty))
+    tiles_df = t.select("tile_id", poly.alias("polygon"))
+
+    # 200 points at known positions strictly inside tiles (never on an
+    # edge): tile (i, j) at its center
+    pts = [("u", k, (k % side) * ts + ts / 2, (k * 7 % side) * ts + ts / 2)
+           for k in range(200)]
+    pdf = spark.createDataFrame(pts, "url string, pid int, x double, y double")
+    got = (assign_tiles(spark, pdf, tiles_df, cfg)
+           .select("pid", "tile_id").toPandas()
+           .sort_values("pid").reset_index(drop=True))
+    assert len(got) == 200
+    for r in got.itertuples():
+        i, j = r.pid % side, (r.pid * 7) % side
+        assert r.tile_id == j * side + i, (r.pid, r.tile_id)
+
+
 def test_rasterize_counts(spark, points_df, cfg):
     got = rasterize_points(points_df, cfg.cell_size).toPandas()
     pts = points_df.select("x", "y").toPandas()
