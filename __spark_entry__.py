@@ -413,6 +413,23 @@ def q_match_grid_bignet(spark, sf):
                     F.round("norm_prob", 6).alias("norm_prob_r"))
 
 
+def q_match_grid_sharded(spark, sf):
+    """Region-sharded one-pass matcher gate (operators/sharded.py): the
+    broadcast-per-region plan for networks past the global broadcast cap,
+    hash-gated against the same full DuckDB twin — the sharded kernel's
+    guards, regional payload build, and fallback routing must reproduce
+    the flagship results exactly."""
+    from st_mapmatching_spark.operators.sharded import match_pages_sharded
+    pages = _render_pages(_pts(spark, sf))
+    m = match_pages_sharded(spark, pages, _net(), CFG,
+                            region_m=4000.0, cover_pad=4000.0,
+                            sp_pair_max=1300.0)
+    return m.select("url", "status",
+                    F.concat_ws(",", F.col("epath").cast("array<string>")).alias("epath_s"),
+                    F.round("step_0", 6).alias("step_0_r"),
+                    F.round("norm_prob", 6).alias("norm_prob_r"))
+
+
 def q_stream_match(spark, sf):
     """Streaming end-to-end gate: the SAME pages corpus fed through a real
     Structured Streaming file source (multiple micro-batches via
@@ -928,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only
         "match_grid": q_match_grid,
         "match_grid_bignet": q_match_grid_bignet,
+        "match_grid_sharded": q_match_grid_sharded,
         "match_grid_classic": q_match_grid_classic,
         "stream_match": q_stream_match,
         "eval_edr": q_eval_edr,
@@ -1600,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "match_grid": _match_sql().match_grid_oracle_sql(),
         # the relational/planet path must produce the SAME rows — one twin
         "match_grid_bignet": _match_sql().match_grid_oracle_sql(),
+        "match_grid_sharded": _match_sql().match_grid_oracle_sql(),
         # batch-vs-stream equality: urls are independent one-row pages, so
         # the streamed union must equal the batch table — same twin
         "stream_match": _match_sql().match_grid_oracle_sql(),

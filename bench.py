@@ -222,6 +222,48 @@ def run_bignet_leg(sf_dir: str, cpus: str, mult: int, g: int = 350) -> dict:
     return out
 
 
+def run_sharded_leg(sf_dir: str, cpus: str, mult: int, g: int = 150) -> dict:
+    """Region-sharded ONE-PASS matcher on a network 11x over the one-pass
+    gate (g=150 -> 22,500 nodes; gate is 2,000): the shuffle-free regional
+    kernel must survive where the global broadcast/memo cannot. Contrast
+    with --bignet-leg (the staged relational path on the same class of
+    network)."""
+    import __spark_entry__ as entry
+    from st_mapmatching_spark.operators.sharded import match_pages_sharded
+    from st_mapmatching_spark.session import get_spark
+    from st_mapmatching_spark.sources import derived as D
+
+    spark = get_spark(cores=cpus, app=f"bench-sharded-{cpus}")
+    net = D.big_grid_network(entry.CFG, g)
+    points = D.replicate_points(
+        D.derive_points_snake(spark, sf_dir, g), mult)
+    pages = entry._render_pages(points).persist()
+    n_trajs = pages.count()
+
+    kw = dict(region_m=10_000.0, cover_pad=3_000.0, sp_pair_max=900.0)
+    df = match_pages_sharded(spark, pages, net, entry.CFG, **kw)   # warm-up
+    df.count(); df.unpersist()
+    t0 = time.perf_counter()
+    df = match_pages_sharded(spark, pages, net, entry.CFG, **kw)
+    n_matched = df.count()
+    t_match = time.perf_counter() - t0
+    n_success = df.filter("status = 0").count()
+    df.unpersist()
+    out = {"leg": "sharded", "g": g, "n_nodes": g * g,
+           "cpus": int(cpus), "mult": mult, "n_trajs": n_trajs,
+           "n_matched": n_matched, "n_success": n_success,
+           "match_sec": round(t_match, 2),
+           "trajs_per_sec": round(n_trajs / t_match, 2), **kw}
+    spark.stop()
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/LEGS.jsonl", "a") as f:
+            f.write(json.dumps({**out, "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}) + "\n")
+    except OSError:
+        pass
+    return out
+
+
 def run_salted(sf_dir: str, cpus: str) -> dict:
     """Exercise the salted candidate join under real skew: 80% of points
     are clamped into a ~2 m square (one hot cell), then the cell join runs
@@ -371,6 +413,14 @@ def main():
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "64"))
         print(json.dumps(run_scaling_leg(sf_dir, cpus, mult)))
+        return
+
+    if "--sharded-leg" in sys.argv:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
+        g = int(os.environ.get("SPARK_GRAFT_BIGNET_G", "150"))
+        print(json.dumps(run_sharded_leg(sf_dir, cpus, mult, g)))
         return
 
     if "--bignet-leg" in sys.argv:

@@ -10,6 +10,8 @@ derived structures the Spark plan needs: the cell->eid inverted index
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -51,9 +53,14 @@ class Network:
         self.edge_src = dict(zip(self.edges.eid.astype(int), self.edges.src.astype(int)))
         self.edge_dst = dict(zip(self.edges.eid.astype(int), self.edges.dst.astype(int)))
 
-        xs = np.concatenate([g[:, 0] for g in geom_xy])
-        ys = np.concatenate([g[:, 1] for g in geom_xy])
-        self.bbox_xy = (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+        if geom_xy:
+            xs = np.concatenate([g[:, 0] for g in geom_xy])
+            ys = np.concatenate([g[:, 1] for g in geom_xy])
+            self.bbox_xy = (float(xs.min()), float(ys.min()),
+                            float(xs.max()), float(ys.max()))
+        else:
+            # empty subnetwork (region sharding over an off-network tile)
+            self.bbox_xy = (math.inf, math.inf, -math.inf, -math.inf)
 
     def with_reverse_ways(self, way_ids) -> tuple["Network", list[int]]:
         """New Network with reverse twins added for the given way_ids (the
