@@ -125,7 +125,11 @@ def run_scaling_leg(sf_dir: str, cpus: str, mult: int) -> dict:
         t_match = None
         n_trajs = -1
     else:
-        pages = entry._render_pages(points).persist()
+        # spread the render output across cores (AQE coalesces it to ~1
+        # partition at small byte sizes, serializing the CPU-bound map
+        # stage; a real corpus scan arrives in many partitions) — r6
+        pages = (entry._render_pages(points)
+                 .repartition(int(cpus) * 4, "url").persist())
         n_trajs = pages.count()                     # materialize input
         df = match_pages(spark, pages, entry._net(), entry.CFG)
         df.count(); df.unpersist()
@@ -184,6 +188,8 @@ def run_bignet_leg(sf_dir: str, cpus: str, mult: int, g: int = 350) -> dict:
     Viterbi attach_epath_relational. Zero driver collects of unbounded
     state. Same leg shape as run_scaling_leg (materialized replicated
     input, warm-up run, one timed run)."""
+    from dataclasses import replace
+
     import __spark_entry__ as entry
     from st_mapmatching_spark.operators.matching import match_pages
     from st_mapmatching_spark.session import get_spark
@@ -193,17 +199,28 @@ def run_bignet_leg(sf_dir: str, cpus: str, mult: int, g: int = 350) -> dict:
     net = D.big_grid_network(entry.CFG, g)
     net.cell_index(pad=entry.CFG.radius)   # build the (memoized) index once
     net.dir_stats()                        # ditto for the dir sufficient stats
+    # sp_broadcast_max_rows=0 pins the FULLY-relational tail (relational
+    # sp scoring + attach_epath_relational — the plan an unbounded
+    # network/corpus runs); the default cfg would legitimately broadcast
+    # the corridor-bounded sp table here, which measures a different plan
+    cfg = replace(entry.CFG, sp_broadcast_max_rows=0)
     points = D.replicate_points(
         D.derive_points_snake(spark, sf_dir, g), mult)
-    pages = entry._render_pages(points).persist()
+    pages = (entry._render_pages(points)
+             .repartition(int(cpus) * 4, "url").persist())
     n_trajs = pages.count()
 
-    df = match_pages(spark, pages, net, entry.CFG)   # warm-up
-    n_matched = df.count()
+    # warm-up on a SMALL corpus: codegen + the memoized network broadcasts
+    # are input-size-independent, and warming on the full input would
+    # double multi-hundred-second legs
+    wpages = entry._render_pages(
+        D.derive_points_snake(spark, "/root/testdata/sf0.01", g))
+    df = match_pages(spark, wpages, net, cfg)
+    df.count()
     df.unpersist()
     t0 = time.perf_counter()
-    df = match_pages(spark, pages, net, entry.CFG)
-    df.count()
+    df = match_pages(spark, pages, net, cfg)
+    n_matched = df.count()
     t_match = time.perf_counter() - t0
     n_success = df.filter("status = 0").count()
     df.unpersist()
@@ -237,10 +254,20 @@ def run_sharded_leg(sf_dir: str, cpus: str, mult: int, g: int = 150) -> dict:
     net = D.big_grid_network(entry.CFG, g)
     points = D.replicate_points(
         D.derive_points_snake(spark, sf_dir, g), mult)
-    pages = entry._render_pages(points).persist()
+    # AQE coalesces the render groupBy output to ~1 partition at these
+    # byte sizes, serializing the (CPU-bound, not byte-bound) map stage —
+    # spread pages across the cores like a real corpus scan would be
+    pages = (entry._render_pages(points)
+             .repartition(int(cpus) * 4, "url").persist())
     n_trajs = pages.count()
 
-    kw = dict(region_m=10_000.0, cover_pad=3_000.0, sp_pair_max=900.0)
+    # sized to the corpus, as a real deployment would: cover_pad must
+    # exceed the longest trajectory's extent (variable events/user -> up
+    # to ~4 km here), sp_pair_max the largest post-DP step (~520 m) plus
+    # the 2*(radius + max_edge_len) slack — under-sizing is CORRECT but
+    # routes a tail through the staged fallback, whose fixed stage
+    # latency dominates at toy scale
+    kw = dict(region_m=20_000.0, cover_pad=4_500.0, sp_pair_max=1_400.0)
     df = match_pages_sharded(spark, pages, net, entry.CFG, **kw)   # warm-up
     df.count(); df.unpersist()
     t0 = time.perf_counter()
@@ -429,6 +456,38 @@ def main():
         mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "8"))
         g = int(os.environ.get("SPARK_GRAFT_BIGNET_G", "350"))
         print(json.dumps(run_bignet_leg(sf_dir, cpus, mult, g)))
+        return
+
+    if "--sharded" in sys.argv:
+        # north-rule 2-parallelism pair on the REGION-SHARDED one-pass path
+        lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+        mult = os.environ.get("SPARK_GRAFT_SCALE_MULT", "32")
+        g = os.environ.get("SPARK_GRAFT_BIGNET_G", "150")
+        probe = host_probe(int(lo), int(hi))
+        results = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                       SPARK_GRAFT_SCALE_MULT=mult, SPARK_GRAFT_BIGNET_G=g)
+            p = subprocess.run([sys.executable, __file__, "--sharded-leg"],
+                               env=env, capture_output=True, text=True, check=True)
+            results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        rlo, rhi = results[lo], results[hi]
+        ratio = int(hi) / int(lo)
+        eff = (rhi["trajs_per_sec"] / rlo["trajs_per_sec"]) / ratio
+        out = {"metric": "sharded_scaling", "g": int(g),
+               "n_nodes": rlo["n_nodes"], "mult": rlo["mult"],
+               "n_trajs": rlo["n_trajs"], "cores": [int(lo), int(hi)],
+               "trajs_per_sec": {lo: rlo["trajs_per_sec"], hi: rhi["trajs_per_sec"]},
+               "match_sec": {lo: rlo["match_sec"], hi: rhi["match_sec"]},
+               "scaling_efficiency": round(eff, 3), "probe": probe}
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/RUNS.md", "a") as f:
+            f.write(f"| sharded g={g} {lo}->{hi} | x{rlo['mult']} | "
+                    f"{rlo['match_sec']}s/{rhi['match_sec']}s | "
+                    f"{rlo['trajs_per_sec']}/{rhi['trajs_per_sec']} trajs/s | "
+                    f"eff {eff:.3f} | probe compute "
+                    f"{probe['compute']['scaling_lo_to_hi']}x |\n")
+        print(json.dumps(out))
         return
 
     if "--bignet" in sys.argv:

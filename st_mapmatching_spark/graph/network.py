@@ -92,6 +92,23 @@ class Network:
         merged = pd.concat([base, new], ignore_index=True)
         return Network(merged, self.nodes, self.cfg, geom_metric=True), new_eids
 
+    def broadcast(self, spark, kind: str, builder):
+        """Memoized `sc.broadcast` of a network-derived payload, keyed by
+        (SparkContext, kind). Network state is immutable per instance, so
+        re-pickling + re-shipping the same geometry/stats/adjacency on
+        EVERY match call and EVERY stage is pure waste — on a 489k-edge
+        network the per-stage broadcast build was the dominant fixed cost
+        of the staged path (~45 s per call before this). Workers also
+        cache the value by broadcast id, so reuse skips their unpickle."""
+        if not hasattr(self, "_bc_cache"):
+            self._bc_cache = {}
+        key = (id(spark.sparkContext), kind)
+        bc = self._bc_cache.get(key)
+        if bc is None:
+            bc = spark.sparkContext.broadcast(builder())
+            self._bc_cache[key] = bc
+        return bc
+
     def subnetwork(self, x0: float, y0: float, x1: float, y1: float) -> "Network":
         """New Network of the edges whose metric bbox intersects the box —
         the region-sharding primitive (operators/sharded.py). Global eids

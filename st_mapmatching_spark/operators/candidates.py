@@ -200,8 +200,8 @@ def rehydrate_cands(cands_slim: DataFrame, net: Network) -> DataFrame:
     broadcast would not fit and the pipeline falls back to the relational
     path, which needs edge attrs and cut params as real columns."""
     import pyarrow as pa
-    bc = cands_slim.sparkSession.sparkContext.broadcast(
-        (*net.padded_geoms(), *net.attr_arrays()))
+    bc = net.broadcast(cands_slim.sparkSession, "geom",
+                       lambda: (*net.padded_geoms(), *net.attr_arrays()))
 
     def op(batches):
         eids_sorted, mat, src_a, dst_a, dist_a, speed_a = bc.value
@@ -346,7 +346,8 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
 
     if padded_geoms is None:
         assert net is not None, "candidate_join needs `net` or `padded_geoms`"
-        padded_geoms = points.sparkSession.sparkContext.broadcast(net.padded_geoms())
+        padded_geoms = net.broadcast(points.sparkSession, "padded",
+                                     net.padded_geoms)
 
     def refine(batches):
         """mapInArrow: numeric columns come out of Arrow zero-copy; the

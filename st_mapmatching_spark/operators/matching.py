@@ -119,7 +119,8 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
               .withColumn("pn", F.coalesce(F.col("pn"), F.lit(0)))
               .withColumn("path_len", F.coalesce(F.col("path_len"), F.lit(0))))
 
-    bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
+    bc = net.broadcast(spark, "stats",
+                       lambda: (net.dir_stats(), net.node_xy_arrays()))
     dir_trans = cfg.dir_trans
 
     schema = ("url string, pid_0 int, pid_1 int, eid_0 long, eid_1 long, flag int, "
@@ -692,13 +693,16 @@ def match_pages_onepass(spark: SparkSession, pages: DataFrame, net: Network,
     construction — the staged path's in-band pad guard is satisfied
     structurally)."""
     from ..kernels.cells import xy_to_cell
-    stats_bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
-    geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
-    sp_bc = spark.sparkContext.broadcast(_sp_payload_for(spark, net, cfg))
-    ci = (net.cell_index(pad=max(net.cfg.radius, cfg.radius))
-          .sort_values(["cell", "eid"], kind="stable"))
-    idx_bc = spark.sparkContext.broadcast(
-        (ci.cell.to_numpy(), ci.eid.to_numpy()))
+    stats_bc = net.broadcast(spark, "stats",
+                             lambda: (net.dir_stats(), net.node_xy_arrays()))
+    geom_bc = net.broadcast(spark, "geom",
+                            lambda: (*net.padded_geoms(), *net.attr_arrays()))
+    sp_bc = net.broadcast(spark, f"sp:{cfg.max_dist}",
+                          lambda: _sp_payload_for(spark, net, cfg))
+    _pad = max(net.cfg.radius, cfg.radius)
+    idx_bc = net.broadcast(spark, f"cellidx:{_pad}", lambda: (
+        lambda ci: (ci.cell.to_numpy(), ci.eid.to_numpy()))(
+        net.cell_index(pad=_pad).sort_values(["cell", "eid"], kind="stable")))
     cell_size, radius = cfg.cell_size, cfg.radius
     lon0, lat0, tol, do_simpl = cfg.lon0, cfg.lat0, cfg.tolerance, cfg.simplify
 
@@ -805,8 +809,10 @@ def fused_match(spark: SparkSession, cands: DataFrame,
     their status-3 rows (_with_no_cand_rows). The caller also guards sp's
     size: above cfg.sp_broadcast_max_rows it routes to the relational path
     instead of this broadcast."""
-    stats_bc = spark.sparkContext.broadcast((net.dir_stats(), net.node_xy_arrays()))
-    geom_bc = spark.sparkContext.broadcast((*net.padded_geoms(), *net.attr_arrays()))
+    stats_bc = net.broadcast(spark, "stats",
+                             lambda: (net.dir_stats(), net.node_xy_arrays()))
+    geom_bc = net.broadcast(spark, "geom",
+                            lambda: (*net.padded_geoms(), *net.attr_arrays()))
     sp_bc = spark.sparkContext.broadcast(
         sp if isinstance(sp, SpPayload) else SpPayload(sp.toPandas()))
 

@@ -252,11 +252,18 @@ def match_pages_sharded(spark: SparkSession, pages: DataFrame, net: Network,
     lat1 = F.regexp_extract("text", r"GEO \d+ (-?[\d.]+) (-?[\d.]+)", 2)
     x1 = (lon1.cast("double") - F.lit(lon0)) * F.lit(M_PER_DEG) * F.lit(k)
     y1 = (lat1.cast("double") - F.lit(lat0)) * F.lit(M_PER_DEG)
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("SPARK_GRAFT_SHARD_DEBUG")
+    _t = _time.perf_counter()
     pres = (pages.filter(lon1 != "")
             .select(F.floor(x1 / F.lit(region_m)).cast("long").alias("rx"),
                     F.floor(y1 / F.lit(region_m)).cast("long").alias("ry"))
             .distinct().collect())
     regions = [(int(r.rx), int(r.ry)) for r in pres]
+    if _dbg:
+        print(f"[shard] regions job {_time.perf_counter() - _t:.2f}s "
+              f"({len(regions)} regions)", flush=True)
 
     # payloads are a per-(network, tiling) artifact — memoize on the net
     # like _sp_payload_for, so repeated jobs against one network skip the
@@ -266,21 +273,36 @@ def match_pages_sharded(spark: SparkSession, pages: DataFrame, net: Network,
         cache = net._shard_payload_cache = {}
     ckey = (frozenset(regions), region_m, cover_pad, sp_pair_max, margin,
             cfg.max_dist, cfg.radius, cfg.cell_size)
-    payloads = cache.get(ckey)
-    if payloads is None:
+    pay_bc = cache.get(ckey)
+    if _dbg:
+        print(f"[shard] payload cache {'HIT' if pay_bc is not None else 'MISS'}",
+              flush=True)
+    if pay_bc is None:
+        _t = _time.perf_counter()
         payloads = _build_region_payloads(spark, net, cfg, regions, region_m,
                                           cover_pad, sp_pair_max, margin,
                                           payload_max_rows)
-        cache[ckey] = payloads
-    pay_bc = spark.sparkContext.broadcast(payloads)
+        if _dbg:
+            print(f"[shard] payload build {_time.perf_counter() - _t:.2f}s",
+                  flush=True)
+        # memoize the BROADCAST handle, not just the dict: re-pickling and
+        # re-shipping hundreds of MB of regional payloads on every call
+        # was measurable wall-clock on the bench leg
+        pay_bc = spark.sparkContext.broadcast(payloads)
+        cache[ckey] = pay_bc
     cell_size, radius = cfg.cell_size, cfg.radius
     tol, do_simpl = cfg.tolerance, cfg.simplify
     pair_budget = sp_pair_max
 
     def op(batches):
+        import os as _os
+        import time as _time
+        _t0 = _time.perf_counter()
         from ..kernels.linear_ref import project_core
         from .candidates import extract_arrays
         pays = pay_bc.value
+        _t1 = _time.perf_counter()
+        _dbg = _os.environ.get("SPARK_GRAFT_SHARD_DEBUG")
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -365,14 +387,20 @@ def match_pages_sharded(spark: SparkSession, pages: DataFrame, net: Network,
                         continue
                     sel = np.concatenate(
                         [np.arange(s, e) for s, e in spans])
-                    ur, pr_, xr, yr = u[sel], pid[sel], x[sel], y[sel]
+                    # urls never enter the kernel (match_pages_onepass's
+                    # gid trick): points carry a slice-local integer gid,
+                    # restored once on the 1-row-per-url output
+                    urls_by_gid = np.array([u[s] for s, e in spans])
+                    pgid = np.repeat(np.arange(len(spans)),
+                                     [e - s for s, e in spans])
+                    pr_, xr, yr = pid[sel], x[sel], y[sel]
                     cells_s, cell_eids = pay["cells"]
                     geom = pay["geom"]
                     eids_sorted, mat = geom[0], geom[1]
                     ck = xy_to_cell(xr, yr, cell_size)
                     lo = np.searchsorted(cells_s, ck, side="left")
                     cnt = np.searchsorted(cells_s, ck, side="right") - lo
-                    P = np.repeat(np.arange(len(ur)), cnt)
+                    P = np.repeat(np.arange(len(sel)), cnt)
                     E = cell_eids[np.arange(int(cnt.sum())) -
                                   np.repeat(np.cumsum(cnt) - cnt, cnt) +
                                   np.repeat(lo, cnt)]
@@ -384,14 +412,33 @@ def match_pages_sharded(spark: SparkSession, pages: DataFrame, net: Network,
                     if len(P):
                         o = np.lexsort((E, dp, P))
                         P, E, dp = P[o], E[o], dp[o]
+                        gid = pgid[P]
                         pdf2 = pd.DataFrame({
-                            "url": ur[P], "pid": pr_[P], "x": xr[P],
+                            "url": gid, "pid": pr_[P], "x": xr[P],
                             "y": yr[P], "eid": E, "dist_p2c": dp})
-                        out = _match_frame(pdf2, geom, pay["stats"],
-                                           pay["spd"], cfg, cut_topk=True)
-                        out["_fb"] = False
-                        frames.append(out)
-                        have = set(out.url)
+                        # chunk by candidate-row budget: the frame
+                        # kernel's pair temporaries must stay
+                        # cache-resident (onepass measured 3-4x the
+                        # per-url cost on one giant call)
+                        gheads = np.flatnonzero(np.concatenate(
+                            [[True], gid[1:] != gid[:-1]]))
+                        have = set(urls_by_gid[gid[gheads]])
+                        budget = 100_000
+                        cut_pos = np.concatenate([gheads, [len(gid)]])
+                        c0 = 0
+                        while c0 < len(gheads):
+                            c1 = int(np.searchsorted(
+                                cut_pos, cut_pos[c0] + budget, side="left"))
+                            c1 = max(c1, c0 + 1)
+                            sl = pdf2.iloc[cut_pos[c0]:
+                                           cut_pos[min(c1, len(gheads))]]
+                            out = _match_frame(sl, geom, pay["stats"],
+                                               pay["spd"], cfg,
+                                               cut_topk=True)
+                            out["url"] = urls_by_gid[out.url.to_numpy()]
+                            out["_fb"] = False
+                            frames.append(out)
+                            c0 = c1
                     no_c = [u[s] for s, e in spans if u[s] not in have]
                     if no_c:
                         frames.append(miss_rows(no_c, False))
@@ -404,11 +451,19 @@ def match_pages_sharded(spark: SparkSession, pages: DataFrame, net: Network,
                 frames.append(miss_rows(fb, True))
             yield pd.concat(frames, ignore_index=True) if len(frames) > 1 \
                 else frames[0]
+        if _dbg:
+            with open("/tmp/shard_debug.log", "a") as _f:
+                _f.write(f"{_os.getpid()} start={_t0:.3f} bc={_t1 - _t0:.3f} "
+                         f"end={_time.perf_counter():.3f}\n")
 
     out = (pages.select("url", "text")
            .mapInPandas(op, schema=MATCHED_SCHEMA + ", _fb boolean")
            .persist())
+    _t = _time.perf_counter()
     n_fb = out.filter(F.col("_fb")).count()
+    if _dbg:
+        print(f"[shard] op stage {_time.perf_counter() - _t:.2f}s "
+              f"(fb={n_fb})", flush=True)
     good = out.filter(~F.col("_fb")).drop("_fb")
     if n_fb == 0:
         result = good

@@ -199,7 +199,11 @@ def derive_points_snake(spark: SparkSession, sf_dir: str, g: int,
     the grid's horizontal rows joined by alternating edge connectors, so
     points are road-following on big_grid_network(g). Same closed form as
     derive_points (which is this with g=9 plus the shared oracle
-    constants)."""
+    constants), except route-end handling: instead of wrapping modulo the
+    route (a whole-grid teleport that makes the trajectory's bbox the
+    entire network — an artificial guard-violation for the region-sharded
+    bench), trajectories PING-PONG: reflect at the route ends and walk
+    back. Continuous, road-following, bbox bounded by the walk length."""
     x0 = -(g - 1) * s / 2.0
     row_len = (g - 1) * s
     block = row_len + s
@@ -211,8 +215,10 @@ def derive_points_snake(spark: SparkSession, sf_dir: str, g: int,
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pid = (F.row_number().over(w) - 1).cast("int")
 
-    sa = ((u * A_USER) % F.lit(int(snake_len)) + pid.cast("long") * F.lit(int(step))) \
-        % F.lit(int(snake_len))
+    two_l = 2 * (int(snake_len) - 1)
+    m = ((u * A_USER) % F.lit(two_l) + pid.cast("long") * F.lit(int(step))) \
+        % F.lit(two_l)
+    sa = F.when(m < F.lit(int(snake_len) - 1), m).otherwise(F.lit(two_l) - m)
     sa = sa.cast("double")
     blk = F.floor(sa / F.lit(block)).cast("long")
     within = sa - blk.cast("double") * F.lit(block)
