@@ -258,42 +258,47 @@ def attach_epath_relational(pre: DataFrame, sp: DataFrame, cfg: MatchConfig) -> 
     SAME_LINK (or FAILED below prob_thres) with the step metrics nulled
     (postprocess.py:40-58)."""
     empty = F.array().cast("array<long>")
+    deferred = F.col("status") == hmm.STATUS_UNKNOWN
 
-    steps = (pre.select("url", F.posexplode("steps").alias("pos", "st"))
+    # Plan shape matters more than anything here: `pre` is the whole
+    # score+Viterbi subtree, and Spark does NOT dedupe common subplans —
+    # the original formulation referenced a mid-assembly agg from BOTH the
+    # output join and the dedup branch, re-running the explode/join/agg
+    # job 2-3x per action (measured: half the forced-relational bignet
+    # leg). This version touches only DEFERRED rows, assembles segments +
+    # the trailing last_eid in ONE union, and feeds ONE groupBy whose
+    # output is referenced exactly once.
+    dsrc = pre.filter(deferred)
+    steps = (dsrc.select("url", F.posexplode("steps").alias("pos", "st"))
              .select("url", "pos",
                      F.col("st.o_node").alias("o_node"),
                      F.col("st.d_node").alias("d_node"),
                      F.col("st.need").alias("need"),
                      F.col("st.eid").alias("eid")))
-    att = (steps.join(sp.select("o_node", "d_node", "epath"),
+    seg = (steps.join(sp.select("o_node", "d_node", "epath"),
                       ["o_node", "d_node"], "left")
-           .withColumn("ep", F.when(F.col("need"),
-                                    F.coalesce(F.col("epath"), empty))
-                       .otherwise(empty)))
-    agg = (att.groupBy("url")
-           .agg(F.array_sort(F.collect_list(F.struct("pos", "eid", "ep"))).alias("ss"))
-           .select("url",
-                   F.flatten(F.transform("ss", lambda s: F.concat(F.array(s.eid), s.ep)))
-                   .alias("mid")))
-
-    out = pre.join(agg, "url", "left")
-    deferred = F.col("status") == hmm.STATUS_UNKNOWN
-    # Consecutive-dedup LINEARLY: posexplode the concatenated sequence and
-    # keep elements that differ from lag(e) over (url ORDER BY pos), then
+           .select("url", "pos",
+                   F.concat(F.array(F.col("eid")),
+                            F.when(F.col("need"),
+                                   F.coalesce(F.col("epath"), empty))
+                            .otherwise(empty)).alias("seg")))
+    last = dsrc.select("url", F.lit(1 << 31).alias("pos"),
+                       F.array(F.col("last_eid")).alias("seg"))
+    # Consecutive-dedup LINEARLY: posexplode the segments and keep
+    # elements that differ from lag(e) over (url ORDER BY pos, i), then
     # re-assemble. An F.aggregate fold (or an F.filter referencing the
     # array, which CollapseProject re-inlines per element) is O(L^2)
     # expression work per row — epaths are longest exactly on this
-    # planet-scale path. All three steps reuse the url hash partitioning.
-    full = F.concat(F.col("mid"), F.array(F.col("last_eid")))
-    wl = Window.partitionBy("url").orderBy("pos")
-    ded = (out.filter(deferred)
-           .select("url", F.posexplode(full).alias("pos", "e"))
+    # planet-scale path. The explode/window/agg reuse url partitioning.
+    wl = Window.partitionBy("url").orderBy("pos", "i")
+    ded = (seg.unionByName(last)
+           .select("url", "pos", F.posexplode("seg").alias("i", "e"))
            .withColumn("prev", F.lag("e").over(wl))
            .filter(F.col("prev").isNull() | (F.col("e") != F.col("prev")))
            .groupBy("url")
-           .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "e"))),
+           .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "i", "e"))),
                             lambda s: s.e).alias("dedup")))
-    out = out.join(ded, "url", "left")
+    out = pre.join(ded, "url", "left")
     epath = F.when(deferred, F.col("dedup")).otherwise(F.col("epath0"))
     out = out.withColumn("epath", epath)
     one = F.size("epath") <= 1
@@ -927,6 +932,8 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
     result. Collision odds are n^2/2^65 (~5e-10 at 1e5 trajectories);
     for >1e8-trajectory corpora set url_id_encode=False or pre-assign
     numeric ids upstream."""
+    import os as _os
+    _dbg_timer = _os.environ.get("SPARK_GRAFT_MATCH_DEBUG")
     cell_index, edge_attrs = network_frames(spark, net, cfg)
     nids, _ = net.node_xy_arrays()
     small_net = fused and len(nids) ** 2 <= min(4_000_000,
@@ -980,7 +987,7 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                            net=net, slim=fused, url_local=local_fast)
     if not local_fast:
         cands = cands.persist()
-    pairs = full = sp = matched_p = None
+    pairs = full = sp = matched_p = pre = None
 
     if fused:
         if small_net:
@@ -1013,7 +1020,20 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                                       cfg).persist()
             pairs = build_pairs_df(full, points, cfg).persist()
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
-            pre = viterbi_match(full, scored, cfg, sp_paths=None)
+            # PERSIST pre: attach_epath_relational references it three
+            # times (steps explode, the agg join-back, the dedup branch)
+            # and Spark does not dedupe common subplans — unpersisted,
+            # the ENTIRE score+viterbi subtree re-executed per reference
+            # (measured 8x wall on the forced-relational bignet leg)
+            pre = viterbi_match(full, scored, cfg, sp_paths=None).persist()
+            if _dbg_timer:
+                import time as _t
+                for _lbl, _df in (("full", full), ("pairs", pairs),
+                                  ("pre(score+viterbi)", pre)):
+                    _x = _t.perf_counter()
+                    _df.count()
+                    print(f"[match] {_lbl}: {_t.perf_counter() - _x:.2f}s",
+                          flush=True)
             matched = attach_epath_relational(pre, sp, cfg)
             out = _with_no_cand_rows(matched, url_universe, cands)
     else:
@@ -1032,7 +1052,9 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
             matched = viterbi_match(cands, scored, cfg, sp_paths)
         else:
             scored = score_pairs_df(spark, pairs, sp, net, cfg, broadcast_sp=False)
-            pre = viterbi_match(cands, scored, cfg, sp_paths=None)
+            # persisted: attach_epath_relational references pre 3x (see
+            # the fused branch note)
+            pre = viterbi_match(cands, scored, cfg, sp_paths=None).persist()
             matched = attach_epath_relational(pre, sp, cfg)
         out = _with_no_cand_rows(matched, url_universe, cands)
 
@@ -1043,9 +1065,15 @@ def match_points(spark: SparkSession, points_in: DataFrame, net: Network,
                .select(F.col("_url_str").alias("url"),
                        *[c for c in out.columns if c not in ("url", "_url_str")]))
     out = out.persist()
+    if _dbg_timer:
+        import time as _t
+        _x = _t.perf_counter()
+        out.count()
+        print(f"[match] attach+finalize: {_t.perf_counter() - _x:.2f}s",
+              flush=True)
     out.count()  # materialize, then release the intermediate caches —
     # leaving them pinned degrades successive runs via eviction churn
-    for df in (both, cands, pairs, full, sp, matched_p):
+    for df in (both, cands, pairs, full, sp, matched_p, pre):
         if df is not None:
             df.unpersist()
     return out

@@ -17,8 +17,15 @@ def get_spark(cores: int | str = "*", app: str = "st_mapmatching_spark",
     instead of Spark's 200.
     """
     if shuffle_partitions is None:
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         n = os.cpu_count() or 8 if cores == "*" else int(cores)
-        shuffle_partitions = max(8, n)
+        # 4x cores, not cores: a shuffle partition must also fit the
+        # per-task sort buffer — at 8 cores / 8 partitions a 38M-row pair
+        # table sorts ~5M wide rows per task and spills (measured cliff on
+        # the staged-path bench at high replication). AQE coalesces the
+        # excess away when partitions come out small, so the only cost of
+        # over-partitioning is scheduler overhead.
+        shuffle_partitions = int(env) if env else max(16, n * 4)
     return (
         SparkSession.builder
         .master(f"local[{cores}]")
