@@ -182,27 +182,46 @@ def score_pairs_df(spark: SparkSession, pairs: DataFrame, sp: DataFrame,
 
 def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
                   sp_paths=None) -> DataFrame:
-    """Cogrouped per-trajectory beam Viterbi + path stitch (the stateful
-    core, viterbi.py:107-154 + postprocess.py:13-97).
+    """Per-trajectory beam Viterbi + path stitch (the stateful core,
+    viterbi.py:107-154 + postprocess.py:13-97) as ONE streamed Arrow
+    stage: candidates and scored pairs are tag-unioned into a single
+    url-sorted stream and sliced per trajectory in numpy — the cogrouped
+    applyInPandas this replaces paid ~15 core-ms of machinery per
+    trajectory (one Python call + pandas constructions per group, the
+    round-2 measurement that motivated fused_match) and TWO groupBy
+    shuffles; the union costs one shuffle and amortizes the Python entry
+    over whole Arrow batches. Sentinel zeros (never nulls) fill the
+    other tag's columns so pandas dtypes survive the union intact.
 
     ``sp_paths`` (optional) is a broadcast dict {(o_node, d_node): epath
     list} — paths are then resolved in-UDF only for the <=L winning steps
-    per trajectory instead of shipping nested arrays through the cogroup
-    shuffle. With sp_paths=None (the planet-scale default) the output is
-    MATCHED_PRE_SCHEMA: winning steps only; feed it through
-    attach_epath_relational(sp) to finalize — nothing is ever collected to
-    the driver."""
+    per trajectory. With sp_paths=None (the planet-scale default) the
+    output is MATCHED_PRE_SCHEMA: winning steps only; feed it through
+    attach_epath_relational(sp) to finalize — nothing is ever collected
+    to the driver."""
     # no observ_prob here: the kernel recomputes the emission per url group
     # (per-url max normalization) — carrying a column it overwrites invited
     # stale/placeholder reads (r5 judge, What's wrong #2)
-    cands_min = cands.select("url", "pid", "eid",
-                             "dist_p2c", "len0", "len1")
+    c_cols = ["pid", "eid", "dist_p2c", "len0", "len1"]
+    s_cols = [c for c in SCORED_COLS if c != "url"]
+    cands_min = cands.select("url", *c_cols)
     dir_trans = cfg.dir_trans
     gps_sigma, gps_bias = cfg.gps_sigma, cfg.gps_bias
     relational = sp_paths is None
 
-    def fn(key, cpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
-        url = key[0]
+    c_types = dict(cands_min.dtypes)
+    s_types = dict(scored.dtypes)
+    c_part = cands_min.withColumn("_tag", F.lit(0).cast("int"))
+    for col in s_cols:
+        c_part = c_part.withColumn(col, F.lit(0).cast(s_types[col]))
+    s_part = scored.withColumn("_tag", F.lit(1).cast("int"))
+    for col in c_cols:
+        s_part = s_part.withColumn(col, F.lit(0).cast(c_types[col]))
+    order = ["url", "_tag"] + c_cols + s_cols
+    both = c_part.select(*order).unionByName(s_part.select(*order))
+    src = both.repartition("url").sortWithinPartitions("url", "_tag")
+
+    def per_url(url, sl: pd.DataFrame, rows: list):
         base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES,
                 "epath0" if relational else "epath": None,
                 "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
@@ -210,14 +229,20 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
                 "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
         if relational:
             base.update(steps=None, last_eid=None)
-        if len(cpdf) == 0:
-            return pd.DataFrame([base])
+        tags = sl._tag.to_numpy()
+        n_c = int(np.searchsorted(tags, 1))   # rows sorted by _tag
+        cpdf = sl.iloc[:n_c][c_cols]
+        if n_c == 0:
+            rows.append(base)
+            return
         if cpdf.pid.nunique() == 1:
             # single matched layer -> nearest edge (matching.py:170-178)
             best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
             base.update(status=hmm.STATUS_ONE_POINT)
             base["epath0" if relational else "epath"] = [int(best.eid)]
-            return pd.DataFrame([base])
+            rows.append(base)
+            return
+        gpdf = sl.iloc[n_c:][s_cols]
         # recompute the emission with the shared numpy kernel (ulp parity
         # with the oracle — see fused_match) and propagate it onto the
         # scored pairs keyed by (pid_1, eid_1)
@@ -238,12 +263,36 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
             res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
                                   epath_lookup=lambda o, d: paths.get((o, d)))
         base.update(res)
-        return pd.DataFrame([base])
+        rows.append(base)
 
-    return (cands_min.groupBy("url")
-            .cogroup(scored.groupBy("url"))
-            .applyInPandas(fn, schema=url_typed(
-                MATCHED_PRE_SCHEMA if relational else MATCHED_SCHEMA, cands)))
+    def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf.url.to_numpy()
+        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+        rows: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            per_url(u[s], pdf.iloc[s:e], rows)
+        return pd.DataFrame(rows)
+
+    def op(batches):
+        # url-boundary buffering identical to fused_match: the (possibly
+        # batch-spanning) last url of each Arrow batch carries over
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                buf = None
+                continue
+            u = pdf.url.to_numpy()
+            cut = int(np.searchsorted(u, u[-1], side="left"))
+            buf = pdf.iloc[cut:]
+            if cut:
+                yield _frame(pdf.iloc[:cut])
+        if buf is not None and len(buf):
+            yield _frame(buf)
+
+    return src.mapInPandas(op, schema=url_typed(
+        MATCHED_PRE_SCHEMA if relational else MATCHED_SCHEMA, cands))
 
 
 def attach_epath_relational(pre: DataFrame, sp: DataFrame, cfg: MatchConfig) -> DataFrame:
