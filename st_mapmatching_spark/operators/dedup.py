@@ -399,14 +399,21 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                            for c in range(4)])).alias("ck")) \
               .select("id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
     l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
+    # hamming filter BEFORE the pair dedup: a boilerplate-heavy corpus
+    # makes chunk buckets large (sf1.0 bench: 21.8M joined pairs, 20k
+    # surviving) and the dedup is a full hash aggregate + exchange over
+    # every joined row — filtering first keeps the aggregate input at
+    # ~4x the OUTPUT size instead of the bucket-pair cross product
+    # (guide §2.3 "project/filter before the exchange"; measured
+    # 36.2 s -> 4.4 s at sf1.0). hamming is a pure function of (a, b)
+    # (each doc has ONE simhash), so filter/dedup commute bitwise.
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
                    & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                    F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
             .dropDuplicates(["a", "b"]))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
-               .select("a", "b", "hamming")
 
 
 def dedup_rank(df: DataFrame, keys: list[str], order: list) -> DataFrame:
