@@ -51,6 +51,13 @@ POINTS_SCHEMA = "url string, pid int, x double, y double"
 REFINE_SCHEMA = ("url string, pid int, x double, y double, eid long, src long, dst long, "
                  "way_id long, dir int, dist double, speed double, dist_p2c double, "
                  "len0 double, len1 double, seg_idx int, ratio double")
+# What the refine STAGE actually emits in non-slim mode: projection +
+# cut params only. Edge attributes (src/dst/way_id/dir/dist/speed) are
+# joined onto the top-k survivors afterwards — they were dead
+# pass-through bytes across the Arrow boundary and the url exchange.
+REFINE_SCHEMA_CUTS = ("url string, pid int, x double, y double, eid long, "
+                      "dist_p2c double, len0 double, len1 double, "
+                      "seg_idx int, ratio double")
 # Slimmest variant for the fused matcher: the refine emits only dist_p2c;
 # attributes and cut parameters are re-derived per trajectory from the
 # broadcast network (Arrow boundary width is the measured cost driver).
@@ -342,8 +349,6 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         pairs = (covered.join(cell_index, "cell")
                  .select("url", "pid", "x", "y", "eid"))
 
-    cands = pairs if slim else pairs.join(F.broadcast(edge_attrs), "eid")
-
     if padded_geoms is None:
         assert net is not None, "candidate_join needs `net` or `padded_geoms`"
         padded_geoms = net.broadcast(points.sparkSession, "padded",
@@ -356,9 +361,14 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         emitted; downstream stages re-derive everything else from the
         broadcast (Arrow boundary width is the measured cost driver).
 
-        The dilated-index join emits each (url, pid, eid) pair exactly
-        once, so no in-batch dedupe is needed; the global dropDuplicates
-        below remains as a cheap post-filter invariant guard."""
+        Edge ATTRIBUTES never enter this stage in either mode: they were
+        previously joined below the Arrow boundary and rode through it as
+        six dead pass-through columns per candidate row (11-in/16-out at
+        3.3M rows on the sf1.0 bench); the broadcast attrs join now
+        happens on the top-k SURVIVORS above, where Catalyst also prunes
+        it away entirely for consumers that read none of them
+        (geo_knn_edges: plan went 16 -> 10 Arrow columns, attrs join
+        gone; guide §4.1 'pass only the columns the function needs')."""
         import pyarrow as pa
         eids_sorted, mat = padded_geoms.value
         for b in batches:
@@ -371,23 +381,19 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
             eid = col["eid"].to_numpy(zero_copy_only=False)
             di = np.searchsorted(eids_sorted, eid)
             res = project_core(np.stack([x, y], axis=1), mat[di])
+            order = ["url", "pid", "x", "y", "eid"]
+            arrays = [col[n] for n in order] + [pa.array(res["dist"])]
             if slim:
-                order = ["url", "pid", "x", "y", "eid"]
-                arrays = [col[n] for n in order] + [pa.array(res["dist"])]
                 yield pa.RecordBatch.from_arrays(arrays, order + ["dist_p2c"])
                 continue
-            order = ["url", "pid", "x", "y", "eid", "src", "dst", "way_id",
-                     "dir", "dist", "speed"]
-            arrays = [col[n] for n in order]
-            arrays += [pa.array(res["dist"]), pa.array(res["len0"]),
-                       pa.array(res["len1"]),
+            arrays += [pa.array(res["len0"]), pa.array(res["len1"]),
                        pa.array(res["seg_idx"].astype(np.int32)),
                        pa.array(res["ratio"])]
             yield pa.RecordBatch.from_arrays(
                 arrays, order + ["dist_p2c", "len0", "len1", "seg_idx", "ratio"])
 
-    refined = (cands.mapInArrow(refine, schema=url_typed(
-                   REFINE_SCHEMA_SLIM if slim else REFINE_SCHEMA, points))
+    refined = (pairs.mapInArrow(refine, schema=url_typed(
+                   REFINE_SCHEMA_SLIM if slim else REFINE_SCHEMA_CUTS, points))
                .filter(F.col("dist_p2c") <= r))
 
     if slim and url_local:
@@ -414,13 +420,17 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         return refined
 
     # One deliberate shuffle on url: url-hash partitioning is a
-    # subset of every downstream clustering key — (url,pid,eid)
-    # dedupe, (url,pid) top-k window, (url) emission window, the
-    # (url,pid_*) pair self-joins — so Catalyst elides all their
-    # exchanges. A (url,pid,eid) pair can arrive via multiple
-    # cover cells; the refine is deterministic, so dedupe after.
-    refined = (refined.repartition("url")
-               .dropDuplicates(["url", "pid", "eid"]))
+    # subset of every downstream clustering key — the (url,pid) top-k
+    # window, (url) emission window, the (url,pid_*) pair self-joins —
+    # so Catalyst elides all their exchanges. Each (url, pid, eid) pair
+    # is emitted exactly ONCE by construction (every point probes only
+    # its own cell of the radius-dilated index, and the index holds one
+    # row per (cell, eid) — guarded fail-closed above), so the historical
+    # dropDuplicates here was a no-op that still cost two full hash
+    # aggregates over every candidate row (3.3M at sf1.0, first() of
+    # every column); the invariant is now pinned by a plan/row test
+    # (tests/test_plans_candidates.py) instead of a per-row runtime pass.
+    refined = refined.repartition("url")
 
     w = Window.partitionBy("url", "pid").orderBy("dist_p2c", "eid")
     topk = (refined.withColumn("rn", F.row_number().over(w))
@@ -432,6 +442,13 @@ def candidate_join(points: DataFrame, cell_index: DataFrame, edge_attrs: DataFra
         # would be one full dead pass over the candidate table
         return topk
 
+    # attrs attach on the top-k SURVIVORS only (and prunable when unused);
+    # re-select into the historical REFINE_SCHEMA column order so the
+    # non-slim output contract is unchanged
+    topk = (topk.join(F.broadcast(edge_attrs), "eid")
+            .select("url", "pid", "x", "y", "eid", "src", "dst", "way_id",
+                    "dir", "dist", "speed", "dist_p2c", "len0", "len1",
+                    "seg_idx", "ratio"))
     return attach_observ_prob(topk, cfg)
 
 
