@@ -34,11 +34,23 @@ def cosine_col(a, b) -> F.Column:
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
-    queries is expected small -> broadcast; corpus scan is one pass."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = embeddings.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    queries is expected small -> broadcast; corpus scan is one pass.
+
+    Norms are factored out to one per ROW instead of one per PAIR: the
+    sequential-fold norm is an interpreted higher-order expression (~2x
+    the dot's cost since it was evaluated on both sides), and under the
+    q x c join each corpus norm was re-folded per query and each query
+    norm per corpus row. cosine = dot / (norm_q * norm_c) is the exact
+    same IEEE expression tree either way — the fold over each vector is
+    unchanged, and the multiply/divide order matches cosine_col — so
+    results are bitwise identical (the SQL oracle pins this)."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                       _norm(F.col(vec_col)).alias("_qn"))
+    c = embeddings.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+                          _norm(F.col(vec_col)).alias("_cn"))
     scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-              .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec"))))
+              .withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec"))
+                          / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
