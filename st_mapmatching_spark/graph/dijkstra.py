@@ -108,9 +108,12 @@ def shortest_paths_to_targets(adj: dict, origin: int, targets, max_dist: float,
         row["cost"] = float(cost[t])
         row["epath"] = ep if ep else None
         if edge_speed is not None and ep:
-            # sequential sums (paths are short, so this equals
-            # np.average's sequential accumulation bitwise) — building
-            # two np.arrays per row dominated the sp stage at 192k rows
+            # sequential sums: numpy's pairwise summation can differ in
+            # the LAST ULP from this loop for paths >8 edges, a
+            # difference confined to the 1e-9 parity pins (r6 ADVICE:
+            # the old "bitwise" claim here was wrong for long paths) —
+            # building two np.arrays per row dominated the sp stage at
+            # 192k rows, which is why the loop form stays
             wsum = 0.0
             swsum = 0.0
             for e in ep:

@@ -102,7 +102,10 @@ class Network:
         cache the value by broadcast id, so reuse skips their unpickle."""
         if not hasattr(self, "_bc_cache"):
             self._bc_cache = {}
-        key = (id(spark.sparkContext), kind)
+        # applicationId, not id(sc): a stopped context's id() can be
+        # reused by CPython, which would hand back a broadcast belonging
+        # to the dead context (task failures at use time) — r6 ADVICE
+        key = (spark.sparkContext.applicationId, kind)
         bc = self._bc_cache.get(key)
         if bc is None:
             bc = spark.sparkContext.broadcast(builder())

@@ -98,8 +98,16 @@ def extract_media_features(media: DataFrame,
     use_real = (fake is False) or (fake is None and pil_available())
 
     def _decode_row(p: bytes) -> np.ndarray:
+        # catch DECODE failures only (undecodable bytes -> stable pseudo
+        # feature). An ImportError must propagate: a worker without PIL
+        # silently pseudo-decoding every row would reintroduce exactly
+        # the per-worker nondeterminism the driver-side pinning exists to
+        # eliminate — a missing-PIL executor fails loudly instead
+        # (r6 ADVICE, medium).
         try:
             return _real_decode(p)
+        except ImportError:
+            raise
         except Exception:
             return _pseudo_decode(p)
 

@@ -435,7 +435,15 @@ def match_pages_sharded(spark: SparkSession, pages: DataFrame, net: Network,
     region_m/cover_pad/sp_pair_max default to AUTO-derivation from
     network + corpus stats (derive_shard_params); explicit values
     override. The returned frame carries the guard-fallback count as
-    ``df._shard_fallbacks`` and the fraction is logged per run."""
+    ``df._shard_fallbacks`` and the fraction is logged per run.
+
+    Persist contract (r6 ADVICE): the returned frame is persist()ed and
+    already materialized; long-lived callers must unpersist() it after
+    consuming (stream_match_batches does this per epoch). The memoized
+    payload broadcasts live on the NETWORK object for its lifetime —
+    that is the cache's point; drop the Network (or clear
+    net._shard_payload_cache and unpersist its handles) to release
+    executor memory in a session that is done matching."""
     from .matching import MATCHED_SCHEMA, _match_frame, match_pages
 
     if region_m is None or cover_pad is None or sp_pair_max is None:
