@@ -152,6 +152,92 @@ def bignet_stages(sf_dir):
     spark.stop()
 
 
+def shuffle_probe(lo: int = 2, hi: int = 8, secs: float = 4.0) -> dict:
+    """Bare shuffle-proxy probe (ZERO Spark): per process, the staged
+    matcher's shuffle-leg work profile — argsort an int64 key over a
+    ~100 MB structured payload, gather the payload through the sort
+    order, then a serialize/deserialize memcpy round-trip (the
+    write+read of a shuffle partition). Aggregate work-units/s at lo and
+    hi processes = the host's achievable scaling ceiling for
+    sort+stream-bound work. A Spark pair whose efficiency matches this
+    ceiling is host-bound, not engine-bound (r6 verdict item 1b)."""
+    import multiprocessing as mp
+    import numpy as np
+
+    def work(out, i, seconds):
+        rng = np.random.default_rng(97 + i)
+        n = 1_200_000                      # ~ one x32-leg shuffle partition
+        key = rng.integers(0, 1 << 62, n)
+        payload = rng.random((n, 9))       # ~ the slimmed union row width
+        t0, units = time.perf_counter(), 0
+        while time.perf_counter() - t0 < seconds:
+            o = np.argsort(key, kind="stable")     # the sort
+            g = payload[o]                         # the gather
+            b = g.tobytes()                        # shuffle write
+            np.frombuffer(b, dtype=np.float64)     # shuffle read
+            units += 1
+        out[i] = units / (time.perf_counter() - t0)
+
+    res = {"cores": [lo, hi]}
+    per = {}
+    for np_ in (lo, hi):
+        out = mp.Manager().dict()
+        ps = [mp.Process(target=work, args=(out, i, secs)) for i in range(np_)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        per[np_] = round(sum(out.values()), 2)
+    res["shuffle"] = {"agg_throughput": per,
+                      "scaling_lo_to_hi": round(per[hi] / per[lo], 2),
+                      "eff_vs_ideal": round(per[hi] / per[lo] / (hi / lo), 3)}
+    return res
+
+
+def staged_pair(mult: int = 32, g: int = 350) -> dict:
+    """The staged-relational 2c/8c pair with host probes BRACKETING each
+    leg (r6 verdict item 1: 'the bandwidth-bound claim not yet
+    attributed'): stream/compute/shuffle-proxy ceilings are measured in
+    the same window as the legs they annotate, so the pair efficiency
+    can be read against what THIS window's host could deliver for the
+    path's sort+stream-bound shuffle work. Legs are bench.py's own
+    (subprocess-isolated, identical methodology)."""
+    import subprocess
+    import bench
+
+    def probes():
+        return {"host": bench.host_probe(2, 8), "shuffle": shuffle_probe(2, 8)}
+
+    res = {"metric": "staged_pair_attributed", "g": g, "mult": mult}
+    res["probe_before"] = probes()
+    legs = {}
+    for cpus in ("2", "8"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                   SPARK_GRAFT_SCALE_MULT=str(mult),
+                   SPARK_GRAFT_BIGNET_G=str(g))
+        p = subprocess.run([sys.executable, "bench.py", "--bignet-leg"],
+                           env=env, capture_output=True, text=True, check=True)
+        legs[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        res[f"probe_after_{cpus}c"] = probes()
+    res["legs"] = legs
+    eff = (legs["8"]["trajs_per_sec"] / legs["2"]["trajs_per_sec"]) / 4.0
+    res["scaling_efficiency"] = round(eff, 3)
+    # the binding ceiling for this path: the WORST stream/shuffle scaling
+    # observed in the windows bracketing the legs (the path's shuffles
+    # are exactly this work profile)
+    ceils = []
+    for k in ("probe_before", "probe_after_2c", "probe_after_8c"):
+        ceils.append(res[k]["host"]["stream"]["scaling_lo_to_hi"] / 4.0)
+        ceils.append(res[k]["shuffle"]["shuffle"]["eff_vs_ideal"])
+    res["stream_ceiling_band"] = [round(min(ceils), 3), round(max(ceils), 3)]
+    res["eff_vs_worst_ceiling"] = round(eff / min(ceils), 3) if min(ceils) else None
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/LEGS.jsonl", "a") as f:
+            f.write(json.dumps({**res, "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}) + "\n")
+    except OSError:
+        pass
+    return res
+
+
 def main():
     names = _arg("--time") or _arg("--explain")
     sf_dir = _arg("--sf", SF)
@@ -165,6 +251,12 @@ def main():
         simhash_stages(sf_dir)
     elif _arg("--bignet-stages"):
         bignet_stages(sf_dir)
+    elif _arg("--shuffle-probe"):
+        print(json.dumps({"metric": "shuffle_probe", **shuffle_probe()}))
+    elif _arg("--staged-pair"):
+        mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "32"))
+        g = int(os.environ.get("SPARK_GRAFT_BIGNET_G", "350"))
+        print(json.dumps(staged_pair(mult, g)))
     else:
         print(__doc__)
 

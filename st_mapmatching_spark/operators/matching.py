@@ -237,56 +237,163 @@ def viterbi_match(cands: DataFrame, scored: DataFrame, cfg: MatchConfig,
     both = c_part.select(*order).unionByName(s_part.select(*order))
     src = both.repartition("url").sortWithinPartitions("url", "_tag")
 
-    def per_url(url, sl: pd.DataFrame, rows: list):
-        base = {"url": url, "status": hmm.STATUS_NO_CANDIDATES,
-                "epath0" if relational else "epath": None,
-                "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
-                "avg_speed": np.nan, "prob": np.nan, "norm_prob": np.nan,
-                "dist_prob": np.nan, "trans_prob": np.nan, "dir_prob": np.nan}
-        if relational:
-            base.update(steps=None, last_eid=None)
-        tags = sl._tag.to_numpy()
-        n_c = int(np.searchsorted(tags, 1))   # rows sorted by _tag
-        cpdf = sl.iloc[:n_c][c_cols]
-        if n_c == 0:
-            rows.append(base)
-            return
-        if cpdf.pid.nunique() == 1:
-            # single matched layer -> nearest edge (matching.py:170-178)
-            best = cpdf.sort_values(["dist_p2c", "eid"]).iloc[0]
-            base.update(status=hmm.STATUS_ONE_POINT)
-            base["epath0" if relational else "epath"] = [int(best.eid)]
-            rows.append(base)
-            return
-        gpdf = sl.iloc[n_c:][s_cols]
-        # recompute the emission with the shared numpy kernel (ulp parity
-        # with the oracle — see fused_match) and propagate it onto the
-        # scored pairs keyed by (pid_1, eid_1)
-        dens = hmm.gaussian_emission(cpdf.dist_p2c.to_numpy(), gps_sigma, gps_bias)
-        cpdf = cpdf.assign(observ_prob=hmm.observ_prob_from_density(dens, dens.max()))
-        obs_map = cpdf[["pid", "eid", "observ_prob"]].rename(
-            columns={"pid": "pid_1", "eid": "eid_1", "observ_prob": "_obs"})
-        gpdf = gpdf.merge(obs_map, on=["pid_1", "eid_1"], how="left")
-        gpdf["observ_prob"] = gpdf.pop("_obs")
-        end_prob, rlist = hmm.decode_sequence(cpdf, gpdf, cfg)
-        if relational:
-            res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
-                                  collect_steps=True)
-            if "epath" in res:
-                res["epath0"] = res.pop("epath")
-        else:
-            paths = sp_paths.value
-            res = hmm.stitch_path(rlist, gpdf, cpdf, end_prob, cfg, dir_trans,
-                                  epath_lookup=lambda o, d: paths.get((o, d)))
-        base.update(res)
-        rows.append(base)
-
     def _frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Whole-batch decode: candidate/pair rows of EVERY url in the
+        Arrow batch are processed in shared numpy passes (emission with
+        per-url max via reduceat, pair-obs attach via one composite-key
+        searchsorted, lockstep beam decode across all trajectories) —
+        the batch shape match_pages_onepass/_match_frame already uses.
+        The per-url pandas slicing + merge + per-trajectory viterbi_beam
+        this replaces cost ~ms-per-trajectory of pure frame machinery on
+        the relational path (r7; the kernels are identical row-for-row —
+        decisions pinned by the lockstep parity suite and all four match
+        gates)."""
         u = pdf.url.to_numpy()
-        bounds = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1], [True]]))
+        tags = pdf._tag.to_numpy()
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], u[1:] != u[:-1], [True]]))
+        starts, ends = bounds[:-1], bounds[1:]
+        ngroups = len(starts)
+        n_c = np.add.reduceat((tags == 0).astype(np.int64), starts)
+        n_g = (ends - starts) - n_c
+
+        carr = {c: pdf[c].to_numpy() for c in c_cols}
+        garr = {c: pdf[c].to_numpy() for c in s_cols}
+
+        # candidate rows (url-major; per-url span via c_off)
+        cidx = np.flatnonzero(tags == 0)
+        c_off = np.concatenate([[0], np.cumsum(n_c)])
+        cpid = carr["pid"][cidx]
+        ceid = carr["eid"][cidx]
+        dp = carr["dist_p2c"][cidx]
+        cl0 = carr["len0"][cidx]
+        cl1 = carr["len1"][cidx]
+        gid_c = np.repeat(np.arange(ngroups), n_c)
+        # emission recomputed with the shared numpy kernel (ulp parity
+        # with the oracle); per-url max via reduceat over non-empty runs
+        if len(cidx):
+            dens = hmm.gaussian_emission(dp, gps_sigma, gps_bias)
+            ne = np.flatnonzero(n_c > 0)
+            gmax = np.full(ngroups, np.nan)
+            gmax[ne] = np.maximum.reduceat(dens, c_off[:-1][ne])
+            obs_c = hmm.observ_prob_from_density(dens, gmax[gid_c])
+        else:
+            dens = obs_c = np.empty(0)
+
+        # pair rows, sorted per url by pid_0 (stable — within-layer order
+        # stays arrival order, the exact order viterbi_beam's stable
+        # argsort preserved)
+        gidx = np.flatnonzero(tags == 1)
+        gid_g = np.repeat(np.arange(ngroups), n_g)
+        qpid = garr["pid_1"][gidx]
+        qeid = garr["eid_1"][gidx]
+        # pair observ_prob: (gid, pid_1, eid_1) -> candidate emission via
+        # one composite-rank searchsorted (the per-url pandas merge this
+        # replaces); misses keep the merge's NaN semantics
+        pu = np.unique(np.concatenate([cpid, qpid]))
+        eu = np.unique(np.concatenate([ceid, qeid]))
+        code_c = ((gid_c * len(pu) + np.searchsorted(pu, cpid))
+                  * len(eu) + np.searchsorted(eu, ceid))
+        oc = np.argsort(code_c, kind="stable")
+        code_s, obs_s = code_c[oc], obs_c[oc]
+        qcode = ((gid_g * len(pu) + np.searchsorted(pu, qpid))
+                 * len(eu) + np.searchsorted(eu, qeid))
+        if len(code_s):
+            pos = np.minimum(np.searchsorted(code_s, qcode),
+                             len(code_s) - 1)
+            hitq = code_s[pos] == qcode
+            obs_pair = np.where(hitq, obs_s[pos], np.nan)
+        else:
+            obs_pair = np.full(len(qcode), np.nan)
+
+        pid0 = garr["pid_0"][gidx]
+        porder = np.lexsort((pid0, gid_g))
+        sg = gid_g[porder]
+        sarr = {c: garr[c][gidx][porder] for c in s_cols}
+        sobs = obs_pair[porder]
+        spid0 = sarr["pid_0"]
+        se0, se1 = sarr["eid_0"], sarr["eid_1"]
+        stp = sarr["trans_prob"] * sobs
+        g_lo = np.searchsorted(sg, np.arange(ngroups))
+        g_hi = np.searchsorted(sg, np.arange(ngroups), side="right")
+
+        decoded = {}
+        if len(sg):
+            newlay = np.concatenate(
+                [[True], (sg[1:] != sg[:-1]) | (spid0[1:] != spid0[:-1])])
+            pair_off = np.flatnonzero(newlay)
+            pair_cnt = np.diff(np.concatenate([pair_off, [len(sg)]]))
+            pl_gid_global = sg[pair_off]
+            multi = np.unique(pl_gid_global)
+            if cfg.beam_search:
+                pl_gid_d = np.searchsorted(multi, pl_gid_global)
+                rr = np.arange(len(multi))
+                n_steps = (np.searchsorted(pl_gid_d, rr, side="right")
+                           - np.searchsorted(pl_gid_d, rr))
+                m_mask = np.zeros(ngroups, dtype=bool)
+                m_mask[multi] = True
+                l0i = np.flatnonzero((cpid == 0) & m_mask[gid_c])
+                l0o = l0i[np.lexsort((ceid[l0i], dp[l0i], gid_c[l0i]))]
+                l0_cnt = np.bincount(np.searchsorted(multi, gid_c[l0o]),
+                                     minlength=len(multi))
+                l0_off = np.concatenate([[0], np.cumsum(l0_cnt)])
+                dec = hmm.viterbi_beam_lockstep(
+                    pl_gid_d, pair_off, pair_cnt, se0, se1, stp,
+                    ceid[l0o], obs_c[l0o], l0_off, n_steps, cfg)
+                for gi, (end_prob, ridx, reid) in enumerate(dec):
+                    g = int(multi[gi])
+                    lay = np.unique(cpid[c_off[g]:c_off[g + 1]])
+                    decoded[g] = (end_prob,
+                                  hmm.ColFrame({"pid": lay[ridx],
+                                                "eid": reid}))
+
+        paths = None if relational else sp_paths.value
         rows: list = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            per_url(u[s], pdf.iloc[s:e], rows)
+        for g in range(ngroups):
+            base = {"url": u[starts[g]], "status": hmm.STATUS_NO_CANDIDATES,
+                    "epath0" if relational else "epath": None,
+                    "step_0": np.nan, "step_n": np.nan, "dist": np.nan,
+                    "avg_speed": np.nan, "prob": np.nan,
+                    "norm_prob": np.nan, "dist_prob": np.nan,
+                    "trans_prob": np.nan, "dir_prob": np.nan}
+            if relational:
+                base.update(steps=None, last_eid=None)
+            cs, ce = int(c_off[g]), int(c_off[g + 1])
+            if ce == cs:
+                rows.append(base)
+                continue
+            if n_g[g] == 0:
+                # single matched layer -> nearest edge (matching.py:170-178)
+                k = int(np.lexsort((ceid[cs:ce], dp[cs:ce]))[0])
+                base.update(status=hmm.STATUS_ONE_POINT)
+                base["epath0" if relational else "epath"] = \
+                    [int(ceid[cs + k])]
+                rows.append(base)
+                continue
+            gl, gh = int(g_lo[g]), int(g_hi[g])
+            gt_g = hmm.ColFrame(
+                {**{c: sarr[c][gl:gh] for c in s_cols},
+                 "observ_prob": sobs[gl:gh]})
+            cands_g = hmm.ColFrame(
+                {"pid": cpid[cs:ce], "eid": ceid[cs:ce],
+                 "dist_p2c": dp[cs:ce], "len0": cl0[cs:ce],
+                 "len1": cl1[cs:ce], "observ_prob": obs_c[cs:ce]})
+            if g in decoded:
+                end_prob, rlist = decoded[g]
+            else:
+                end_prob, rlist = hmm.decode_sequence(cands_g, gt_g, cfg)
+            if relational:
+                res = hmm.stitch_path(rlist, gt_g, cands_g, end_prob, cfg,
+                                      dir_trans, collect_steps=True)
+                if "epath" in res:
+                    res["epath0"] = res.pop("epath")
+            else:
+                res = hmm.stitch_path(rlist, gt_g, cands_g, end_prob, cfg,
+                                      dir_trans,
+                                      epath_lookup=lambda o, d:
+                                      paths.get((o, d)))
+            base.update(res)
+            rows.append(base)
         return pd.DataFrame(rows)
 
     def op(batches):
