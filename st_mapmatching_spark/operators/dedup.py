@@ -398,7 +398,22 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"))
                            for c in range(4)])).alias("ck")) \
               .select("id", "simhash", F.col("ck.c").alias("c"), F.col("ck.v").alias("v"))
-    l, r = chunks.alias("l"), chunks.alias("r")
+    # spread the PROBE side of the bucket join: the corpus parquet often
+    # arrives in 1-2 partitions, and the join's output volume (the
+    # bucket-pair cross product, 21.8M rows at sf1.0) is generated by
+    # the probe side's tasks — left at input partitioning it ran on 1-2
+    # cores (measured: the whole remaining 5.5 s of this query). A
+    # round-robin repartition of the 4-rows-per-doc chunk table is a
+    # trivial shuffle that also spreads HOT buckets' probe rows evenly
+    # (hash-partitioning by (c, v) would pin each hot bucket's entire
+    # output on one task — the skew guide §2.5 warns about).
+    n_spread = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                              "32"))
+    l = chunks.repartition(n_spread).alias("l")
+    # broadcast the RIGHT side explicitly: with two same-sized inputs the
+    # planner may otherwise broadcast the repartitioned side and probe
+    # from the narrow one, undoing the spread
+    r = F.broadcast(chunks).alias("r")
     # hamming filter BEFORE the pair dedup: a boilerplate-heavy corpus
     # makes chunk buckets large (sf1.0 bench: 21.8M joined pairs, 20k
     # surviving) and the dedup is a full hash aggregate + exchange over
