@@ -224,8 +224,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         raise ValueError(
             f"n_hashes/bands = {rows_per_band} rows per band exceeds the "
             "int64-exact limit of 2; raise `bands` or lower `n_hashes`")
-    # shingle set + signature computed once and persisted: the banded
-    # self-join and the verify joins would otherwise recompute them 4x
+    # NOTE on input spreading: spread_input(docs) here cuts the COLD
+    # shingle pass 5.1 s -> 0.6 s at sf1.0 (the scan arrives in 1-2
+    # partitions) but costs ~0.9 s on every WARM run — the persisted
+    # base is re-scanned by three downstream joins and the wider cache
+    # adds per-scan overhead that outweighs the one-off win in repeated
+    # workloads (A/B measured r7). A one-shot caller can pre-spread its
+    # docs frame; this path optimizes the persisted/repeated shape.
     base = (shingle_docs(docs, id_col, text_col, k)
             .filter(F.size("sh") > 0)
             .withColumn("sig", minhash_signature(F.col("hs"), n_hashes))
@@ -391,7 +396,8 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     scan + hash runs once per join side (verified on the executed plan).
     16 bytes/row of storage buys back an entire corpus re-hash, the same
     trade the MinHash path makes with its signature table."""
-    sh = simhash64(docs, id_col, text_col).persist()
+    from ..functions.spread import spread_input
+    sh = simhash64(spread_input(docs), id_col, text_col).persist()
     chunks = sh.select(F.col(id_col).alias("id"), "simhash",
                        F.explode(F.array(*[
                            F.struct(F.lit(c).alias("c"),
@@ -403,13 +409,13 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     # bucket-pair cross product, 21.8M rows at sf1.0) is generated by
     # the probe side's tasks — left at input partitioning it ran on 1-2
     # cores (measured: the whole remaining 5.5 s of this query). A
-    # round-robin repartition of the 4-rows-per-doc chunk table is a
-    # trivial shuffle that also spreads HOT buckets' probe rows evenly
+    # round-robin spread of the 4-rows-per-doc chunk table is a trivial
+    # shuffle that also distributes HOT buckets' probe rows evenly
     # (hash-partitioning by (c, v) would pin each hot bucket's entire
-    # output on one task — the skew guide §2.5 warns about).
-    n_spread = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                              "32"))
-    l = chunks.repartition(n_spread).alias("l")
+    # output on one task — the skew guide §2.5 warns about); at scale
+    # the input is already wide and spread_input is a no-op.
+    from ..functions.spread import spread_input
+    l = spread_input(chunks).alias("l")
     # broadcast the RIGHT side explicitly: with two same-sized inputs the
     # planner may otherwise broadcast the repartitioned side and probe
     # from the narrow one, undoing the spread

@@ -44,10 +44,15 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     same IEEE expression tree either way — the fold over each vector is
     unchanged, and the multiply/divide order matches cosine_col — so
     results are bitwise identical (the SQL oracle pins this)."""
+    from ..functions.spread import spread_input
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
                        _norm(F.col(vec_col)).alias("_qn"))
-    c = embeddings.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
-                          _norm(F.col(vec_col)).alias("_cn"))
+    # the q x c join's output (and the interpreted fold work) is generated
+    # by the corpus side's tasks — spread a narrow-partitioned local scan
+    # (no-op at scale, see functions/spread.py)
+    c = spread_input(embeddings).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("_cn"))
     scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
               .withColumn("cosine", _dot(F.col("q_vec"), F.col("c_vec"))
                           / (F.col("_qn") * F.col("_cn"))))
@@ -115,7 +120,8 @@ def strict_sign_signatures(embeddings: DataFrame, dim: int, n_planes: int = 16,
             sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    from ..functions.spread import spread_input
+    return spread_input(embeddings.select(id_col, vec_col)).mapInPandas(
         op, schema=f"{id_col} long, sig long")
 
 
@@ -236,7 +242,8 @@ def ivf_assign(spark: SparkSession, embeddings: DataFrame, centroids: np.ndarray
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame({id_col: ids, "centroid": near.ravel()})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    from ..functions.spread import spread_input
+    return spread_input(embeddings.select(id_col, vec_col)).mapInPandas(
         op, schema=f"{id_col} long, centroid int")
 
 
@@ -320,7 +327,9 @@ def lsh_signatures(spark: SparkSession, embeddings: DataFrame, dim: int,
             sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(op, schema=f"{id_col} long, sig long")
+    from ..functions.spread import spread_input
+    return spread_input(embeddings.select(id_col, vec_col)).mapInPandas(
+        op, schema=f"{id_col} long, sig long")
 
 
 def lsh_topk(spark: SparkSession, embeddings: DataFrame, queries: DataFrame, dim: int,
